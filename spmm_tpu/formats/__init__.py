@@ -1,0 +1,16 @@
+from spmm_tpu.formats.containers import COO, CSR, BlockedCSR, to_coo, to_csr
+from spmm_tpu.formats.mtx import read_mtx, write_mtx
+from spmm_tpu.formats.synthetic import rmat_matrix, webgraph_like, banded_random
+
+__all__ = [
+    "COO",
+    "CSR",
+    "BlockedCSR",
+    "to_coo",
+    "to_csr",
+    "read_mtx",
+    "write_mtx",
+    "rmat_matrix",
+    "webgraph_like",
+    "banded_random",
+]

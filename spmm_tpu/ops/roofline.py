@@ -1,0 +1,102 @@
+"""Speed-of-light models for every kernel (HBM bytes / MXU MACs).
+
+Per the build mandate (SURVEY.md §6, BASELINE.json: "every kernel profiled
+against speed-of-light HBM/MXU bounds"), each op gets an analytic lower bound
+on runtime from (a) unavoidable HBM traffic at peak bandwidth and (b) FLOPs at
+peak compute.  Sparse kernels at web-graph densities are bandwidth-bound, so
+the HBM term dominates; the achieved/SoL ratio is the headline efficiency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ChipSpec:
+    name: str
+    hbm_gbps: float  # HBM bandwidth, GB/s
+    flops_f32: float  # peak fp32 FLOP/s (MXU)
+    flops_bf16: float  # peak bf16 FLOP/s (MXU)
+    vmem_bytes: int
+
+
+# TPU v5e (v5 lite): 16 GB HBM @ ~819 GB/s, ~197 TFLOP/s bf16 (~98 fp32)
+TPU_V5E = ChipSpec("tpu-v5e", hbm_gbps=819.0, flops_f32=98.3e12, flops_bf16=196.6e12,
+                   vmem_bytes=128 * 1024 * 1024)
+# generic host CPU fallback for CI (numbers only used for ratios)
+CPU_GENERIC = ChipSpec("cpu", hbm_gbps=20.0, flops_f32=1e11, flops_bf16=1e11,
+                       vmem_bytes=32 * 1024 * 1024)
+
+
+def detect_chip() -> ChipSpec:
+    import jax
+
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "") or ""
+    if "v5 lite" in kind or "v5e" in kind:
+        return TPU_V5E
+    if d.platform == "tpu":
+        return TPU_V5E  # closest model we have specs for
+    return CPU_GENERIC
+
+
+@dataclasses.dataclass(frozen=True)
+class Roofline:
+    flops: float
+    hbm_bytes: float
+    chip: ChipSpec
+
+    @property
+    def t_bandwidth_s(self) -> float:
+        return self.hbm_bytes / (self.chip.hbm_gbps * 1e9)
+
+    @property
+    def t_compute_s(self) -> float:
+        return self.flops / self.chip.flops_f32
+
+    @property
+    def t_sol_s(self) -> float:
+        return max(self.t_bandwidth_s, self.t_compute_s)
+
+    def efficiency(self, measured_s: float) -> float:
+        return self.t_sol_s / max(measured_s, 1e-12)
+
+
+def spmm_roofline(nnz: int, m: int, n: int, k: int, *, bytes_val=4, bytes_idx=4,
+                  b_reuse: float = 1.0, chip: ChipSpec | None = None) -> Roofline:
+    """A(m×n, nnz) @ B(n×k).  ``b_reuse``: average times each touched B row is
+    re-read from HBM (1.0 = perfect panel caching; nnz/distinct-cols = none)."""
+    chip = chip or detect_chip()
+    flops = 2.0 * nnz * k
+    distinct = min(nnz, n)
+    bytes_ = (
+        nnz * (bytes_val + bytes_idx)  # A
+        + distinct * k * bytes_val * b_reuse  # B panels
+        + m * k * bytes_val  # Y
+    )
+    return Roofline(flops=flops, hbm_bytes=bytes_, chip=chip)
+
+
+def spmv_roofline(nnz: int, m: int, n: int, **kw) -> Roofline:
+    return spmm_roofline(nnz, m, n, 1, **kw)
+
+
+def spgemm_roofline(expand: int, nnz_a: int, nnz_b: int, nnz_out: int, *,
+                    bytes_val=4, bytes_idx=4, chip: ChipSpec | None = None) -> Roofline:
+    """ESC SpGEMM: ``expand`` partial products (= FLOPs/2).  Sort-dominated:
+    bytes ≈ several passes over the expanded stream (lax.sort is a multi-pass
+    bitonic/merge network; model 2·log2 passes of read+write at 12 B/slot)."""
+    import math
+
+    chip = chip or detect_chip()
+    flops = 2.0 * expand
+    slot_bytes = 2 * bytes_idx + bytes_val
+    sort_passes = max(1.0, math.log2(max(expand, 2)))
+    bytes_ = (
+        nnz_a * (bytes_val + bytes_idx)
+        + nnz_b * (bytes_val + bytes_idx)
+        + expand * slot_bytes * 2 * sort_passes
+        + nnz_out * (bytes_val + 2 * bytes_idx)
+    )
+    return Roofline(flops=flops, hbm_bytes=bytes_, chip=chip)

@@ -1,0 +1,70 @@
+"""SpMM / SpMV — sparse × dense products.
+
+The reference ships no compute kernels at all (SURVEY.md §0); these are the
+kernels its preprocessing exists to feed.  Two tiers:
+
+- ``*_xla``: pure-XLA gather + segment-sum formulations.  Correct for any CSR
+  (padded or tight), differentiable, shardable; these are also the oracle for
+  the Pallas kernels.
+- ``spmm`` / ``spmv``: dispatchers that pick the best available path
+  (Pallas kernel for preprocessed/blocked inputs, XLA otherwise).
+
+Numeric convention: accumulate in float32 (``preferred_element_type``
+semantics); values may be stored bf16/fp32/fp64.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from spmm_tpu.formats.containers import CSR
+
+
+def _row_ids(A: CSR) -> jax.Array:
+    pos = jnp.arange(A.nnz_pad, dtype=jnp.int32)
+    r = jnp.searchsorted(jnp.asarray(A.indptr), pos, side="right").astype(jnp.int32) - 1
+    return jnp.clip(r, 0, A.shape[0] - 1)
+
+
+def spmm_xla(A: CSR, B: jax.Array, *, accum_dtype=jnp.float32) -> jax.Array:
+    """Y[m, k] = A[m, n] @ B[n, k] via gather + segment-sum.
+
+    Padded nonzeros (data == 0) contribute nothing regardless of their index,
+    so no masking is needed.  HBM traffic ≈ nnz·(4+4) for A, nnz·4k gather
+    from B, m·4k for Y — the preprocessed/blocked kernel beats this by staging
+    compacted B panels in VMEM (SURVEY.md §3.3).
+    """
+    rows = _row_ids(A)
+    gathered = jnp.take(B, jnp.asarray(A.indices), axis=0).astype(accum_dtype)
+    contrib = gathered * jnp.asarray(A.data).astype(accum_dtype)[:, None]
+    return jax.ops.segment_sum(contrib, rows, num_segments=A.shape[0])
+
+
+def spmv_xla(A: CSR, x: jax.Array, *, accum_dtype=jnp.float32) -> jax.Array:
+    """y[m] = A[m, n] @ x[n]."""
+    rows = _row_ids(A)
+    contrib = (jnp.take(x, jnp.asarray(A.indices)) * jnp.asarray(A.data)).astype(accum_dtype)
+    return jax.ops.segment_sum(contrib, rows, num_segments=A.shape[0])
+
+
+def spmm(A, B: jax.Array, **kw) -> jax.Array:
+    """Dispatch SpMM on the input format (CSR → XLA path; BlockedCSR → blocked
+    kernel, see spmm_tpu.ops.blocked)."""
+    from spmm_tpu.formats.containers import BlockedCSR
+
+    if isinstance(A, BlockedCSR):
+        from spmm_tpu.ops.blocked import blocked_spmm
+
+        return blocked_spmm(A, B, **kw)
+    return spmm_xla(A, B, **kw)
+
+
+def spmv(A, x: jax.Array, **kw) -> jax.Array:
+    from spmm_tpu.formats.containers import BlockedCSR
+
+    if isinstance(A, BlockedCSR):
+        from spmm_tpu.ops.blocked import blocked_spmm
+
+        return blocked_spmm(A, x[:, None], **kw)[:, 0]
+    return spmv_xla(A, x, **kw)

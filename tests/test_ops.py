@@ -1,0 +1,101 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spmm_tpu.formats.synthetic import random_csr, webgraph_like
+from spmm_tpu.ops import spgemm, spgemm_expand_bound, spmm_xla, spmv_xla
+
+
+@pytest.mark.parametrize("m,n,k,density", [(64, 48, 8, 0.1), (200, 300, 32, 0.02), (33, 17, 5, 0.3)])
+def test_spmm_matches_scipy(m, n, k, density):
+    A = random_csr(m, n, density, seed=m + k)
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((n, k)).astype(np.float32)
+    got = np.asarray(spmm_xla(A.pad(16).device(), jnp.asarray(B)))
+    ref = A.to_scipy() @ B
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_jit_and_grad():
+    A = random_csr(32, 24, 0.2, seed=9).pad(8).device()
+    B = jnp.asarray(np.random.default_rng(1).standard_normal((24, 16)).astype(np.float32))
+
+    f = jax.jit(lambda a, b: spmm_xla(a, b).sum())
+    v = f(A, B)
+    g = jax.grad(lambda b: f(A, b))(B)
+    # d(sum(AB))/dB = A^T @ ones
+    ref = A.to_scipy().T @ np.ones((32, 16), np.float32)
+    np.testing.assert_allclose(np.asarray(g), ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(v), (A.to_scipy() @ np.asarray(B)).sum(), rtol=1e-3)
+
+
+def test_spmv_matches_scipy():
+    A = random_csr(100, 80, 0.05, seed=2).pad(8).device()
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(80).astype(np.float32))
+    got = np.asarray(spmv_xla(A, x))
+    ref = A.to_scipy() @ np.asarray(x)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_empty_rows_and_cols():
+    # matrix with empty rows must produce zero rows, not garbage
+    A = random_csr(50, 50, 0.01, seed=4).pad(8).device()
+    B = jnp.ones((50, 4), jnp.float32)
+    got = np.asarray(spmm_xla(A, B))
+    ref = A.to_scipy() @ np.ones((50, 4), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_spgemm_axa_pattern(seed):
+    # the reference workload: A_pattern @ A_pattern on a square web-like graph
+    # (SURVEY.md §3.4 — ground truth is scipy on the 0/1 pattern matrix)
+    A = webgraph_like(400, 3000, seed=seed)
+    C = spgemm(A, A)
+    ref = (A.to_scipy() @ A.to_scipy()).tocsr()
+    ref.sum_duplicates()
+    got = C.to_scipy()
+    assert got.shape == ref.shape
+    assert (got != ref).nnz == 0 or np.abs((got - ref)).max() < 1e-4
+    np.testing.assert_array_equal(got.indptr, ref.indptr)
+    np.testing.assert_array_equal(got.indices, ref.indices)
+    np.testing.assert_allclose(got.data, ref.data, rtol=1e-5)
+
+
+def test_spgemm_rectangular_real_values():
+    A = random_csr(60, 40, 0.08, seed=7)
+    B = random_csr(40, 70, 0.08, seed=8)
+    C = spgemm(A, B)
+    ref = (A.to_scipy() @ B.to_scipy()).tocsr()
+    np.testing.assert_allclose(C.to_scipy().toarray(), ref.toarray(), rtol=1e-4, atol=1e-5)
+
+
+def test_spgemm_chunked_matches_unchunked():
+    A = webgraph_like(300, 2500, seed=3)
+    big = spgemm(A, A)
+    small = spgemm(A, A, max_expand_per_chunk=512)
+    assert abs(big.to_scipy() - small.to_scipy()).max() < 1e-5
+
+
+def test_spgemm_expand_bound_exact():
+    A = random_csr(30, 30, 0.1, seed=5)
+    lb = np.diff(A.indptr)
+    ref = int(lb[np.asarray(A.indices[: A.nnz])].sum())
+    assert spgemm_expand_bound(A, A) == ref
+
+
+def test_spgemm_empty():
+    from spmm_tpu.formats.containers import COO, to_csr
+
+    Z = to_csr(
+        COO(
+            row=np.zeros(1, np.int32),
+            col=np.zeros(1, np.int32),
+            data=np.zeros(1, np.float32),
+            shape=(10, 10),
+            nnz=0,
+        )
+    )
+    C = spgemm(Z, Z)
+    assert C.nnz == 0
