@@ -173,6 +173,7 @@ class BlockedCSR:
     group_len: Array  # (ngroups,) int32 per-row length L of the group
     group_nnz: Array  # (ngroups,) int32 offset of the group's packed 8*L block
     group_region: Array  # (ngroups,) int32 owning region
+    row_group: Array  # (nrow,) int32 — group id of each final row, or -1
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
     nregions: int = dataclasses.field(metadata=dict(static=True))

@@ -1,0 +1,84 @@
+"""Kernels over the preprocessed BlockedCSR format.
+
+This is the consumer the reference format implies but never ships
+(SURVEY.md §3.3): per region, gather the compacted RHS panel
+(``gather_cols`` slots — bounded by the region budget so it fits VMEM), then
+multiply v8 groups as dense (8, L) tiles and remain rows as gathered dot
+products, writing rows in final order; un-permute with ``row_inv`` at the end.
+
+``blocked_spmm_xla`` is the XLA formulation (correctness oracle + fallback);
+the Pallas VMEM-resident kernel lives in spmm_tpu.ops.pallas_spmm.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from spmm_tpu.formats.containers import BlockedCSR
+
+
+def _final_out_rows(P: BlockedCSR) -> jax.Array:
+    """Per packed nonzero: the (final-order) output row it contributes to.
+
+    Remain rows: the CSR row containing the position.  v8 blocks are 8-row
+    interleaved, so position ``group_nnz[g] + t`` belongs to group-row
+    ``t % 8`` (reference layout, serial_newblock_clock.cpp:366-385).
+    """
+    nnz_pad = P.data.shape[0]
+    indptr = jnp.asarray(P.indptr)
+    pos = jnp.arange(nnz_pad, dtype=jnp.int32)
+    r0 = jnp.clip(
+        jnp.searchsorted(indptr, pos, side="right").astype(jnp.int32) - 1, 0, P.nrow - 1
+    )
+    g = jnp.asarray(P.row_group)[r0]
+    has_groups = P.ngroups > 0
+    if not has_groups:
+        return r0
+    gsafe = jnp.clip(g, 0, P.ngroups - 1)
+    off = pos - jnp.asarray(P.group_nnz)[gsafe]
+    grow = jnp.asarray(P.group_row)[gsafe] + (off % 8)
+    return jnp.where(g >= 0, grow, r0)
+
+
+def _global_cols(P: BlockedCSR) -> jax.Array:
+    """Undo the per-region relabel: original column id per packed nonzero."""
+    nnz_pad = P.data.shape[0]
+    pos = jnp.arange(nnz_pad, dtype=jnp.int32)
+    region_nnz = jnp.asarray(P.region_nnz)
+    reg = jnp.clip(
+        jnp.searchsorted(region_nnz, pos, side="right").astype(jnp.int32) - 1,
+        0,
+        P.nregions - 1,
+    )
+    slot = jnp.asarray(P.region_gather)[reg] + jnp.asarray(P.cols_local)
+    return jnp.asarray(P.gather_cols)[jnp.clip(slot, 0, P.ndistinct - 1)]
+
+
+def blocked_spmm_xla(
+    P: BlockedCSR, B: jax.Array, *, accum_dtype=jnp.float32, permute_back: bool = True
+) -> jax.Array:
+    """Y = unpack(P) @ B via the packed stream (validates the full format:
+    interleave, relabel, permutations)."""
+    out_rows = _final_out_rows(P)
+    gcols = _global_cols(P)
+    contrib = jnp.take(B, gcols, axis=0).astype(accum_dtype) * jnp.asarray(P.data).astype(
+        accum_dtype
+    )[:, None]
+    # mask padding (if any): positions >= nnz contribute zero via data==0
+    y_final = jax.ops.segment_sum(contrib, out_rows, num_segments=P.nrow)
+    if not permute_back:
+        return y_final
+    return y_final[jnp.asarray(P.row_inv)]
+
+
+def blocked_spmm(P: BlockedCSR, B: jax.Array, **kw) -> jax.Array:
+    """Dispatcher: Pallas kernel on TPU when available, XLA otherwise."""
+    try:
+        from spmm_tpu.ops.pallas_spmm import blocked_spmm_pallas
+
+        if jax.devices()[0].platform == "tpu":
+            return blocked_spmm_pallas(P, B, **kw)
+    except (ImportError, NotImplementedError):
+        pass
+    return blocked_spmm_xla(P, B, **kw)
