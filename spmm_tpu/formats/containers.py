@@ -256,7 +256,7 @@ def permute_rows(m: CSR, perm: np.ndarray) -> CSR:
     starts = np.asarray(h.indptr, dtype=np.int64)[perm]
     # gather index per output nonzero: starts[row_out] + offset_within_row
     pos = np.arange(m.nnz, dtype=np.int64)
-    row_out = np.searchsorted(indptr, pos, side="right") - 1
+    row_out = np.repeat(np.arange(m.nrow, dtype=np.int64), lens)
     src = starts[row_out] + (pos - indptr[row_out])
     return CSR(
         data=np.asarray(h.data)[src],

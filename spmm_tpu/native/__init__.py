@@ -36,20 +36,78 @@ def _load() -> Optional[ctypes.CDLL]:
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-        lib.parse_coordinate.restype = ctypes.c_longlong
-        lib.parse_coordinate.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_longlong,
-            ctypes.c_longlong,  # num_lines
-            ctypes.c_longlong,  # num_fields
-            ctypes.POINTER(ctypes.c_int),  # rows out
-            ctypes.POINTER(ctypes.c_int),  # cols out
-            ctypes.POINTER(ctypes.c_double),  # vals out
-        ]
+        LL, I32, F64 = ctypes.c_longlong, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double)
+        PLL = ctypes.POINTER(ctypes.c_longlong)
+        lib.parse_coordinate.restype = LL
+        lib.parse_coordinate.argtypes = [ctypes.c_char_p, LL, LL, LL, I32, I32, F64]
+        lib.region_split.restype = LL
+        lib.region_split.argtypes = [PLL, I32, LL, LL, LL, I32, PLL]
+        lib.relabel_first_touch.restype = LL
+        lib.relabel_first_touch.argtypes = [I32, LL, PLL, LL, LL, I32, I32, I32, I32, PLL]
+        lib.dominant_sections.restype = None
+        lib.dominant_sections.argtypes = [PLL, I32, LL, LL, PLL]
         _lib = lib
     except OSError:
         _lib = None
     return _lib
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong))
+
+
+def region_split(indptr: np.ndarray, cols: np.ndarray, ncol: int, budget: int):
+    """Native first-touch region splitter; returns region row boundaries
+    [0, r1, ..., nrow] or None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    nrow = len(indptr) - 1
+    stamp = np.empty(max(ncol, 1), dtype=np.int32)
+    bounds = np.empty(nrow + 1, dtype=np.int64)
+    nb = lib.region_split(_i64p(indptr), _i32p(cols), nrow, ncol, budget, _i32p(stamp), _i64p(bounds))
+    return np.concatenate([[0], bounds[:nb]]).astype(np.int64)
+
+
+def relabel_first_touch(cols: np.ndarray, region_nnz: np.ndarray, ncol: int):
+    """Native per-region first-touch relabel.  Returns
+    (codes, gather_cols, region_counts) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    region_nnz = np.ascontiguousarray(region_nnz, dtype=np.int64)
+    nnz = len(cols)
+    nregions = len(region_nnz) - 1
+    scratch_map = np.empty(max(ncol, 1), dtype=np.int32)
+    scratch_stamp = np.empty(max(ncol, 1), dtype=np.int32)
+    codes = np.empty(nnz, dtype=np.int32)
+    gather = np.empty(max(nnz, 1), dtype=np.int32)
+    counts = np.empty(max(nregions, 1), dtype=np.int64)
+    total = lib.relabel_first_touch(
+        _i32p(cols), nnz, _i64p(region_nnz), nregions, ncol,
+        _i32p(scratch_map), _i32p(scratch_stamp), _i32p(codes), _i32p(gather), _i64p(counts),
+    )
+    return codes, gather[:total].copy(), counts[:nregions]
+
+
+def dominant_sections(indptr: np.ndarray, cols: np.ndarray, section_size: int):
+    """Native per-row dominant section (CSR with sorted columns) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    nrow = len(indptr) - 1
+    dom = np.empty(nrow, dtype=np.int64)
+    lib.dominant_sections(_i64p(indptr), _i32p(cols), nrow, section_size, _i64p(dom))
+    return dom
 
 
 def available() -> bool:

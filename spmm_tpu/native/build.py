@@ -12,7 +12,7 @@ import subprocess
 import tempfile
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-SOURCES = [os.path.join(_HERE, "mtxparse.cpp")]
+SOURCES = [os.path.join(_HERE, "mtxparse.cpp"), os.path.join(_HERE, "preprocess.cpp")]
 LIB = os.path.join(_HERE, "libspmm_native.so")
 
 

@@ -104,6 +104,19 @@ def spgemm_coo_padded(
     return rows, cols, vals, out_nnz
 
 
+_ESC_JIT = None
+
+
+def _jitted_esc():
+    """Module-cached jit of the ESC kernel so repeated spgemm() calls with the
+    same static buckets reuse compiles (XLA sort compiles are ~25-40 s on
+    TPU)."""
+    global _ESC_JIT
+    if _ESC_JIT is None:
+        _ESC_JIT = jax.jit(spgemm_coo_padded, static_argnames=("expand_size",))
+    return _ESC_JIT
+
+
 def spgemm(
     A: CSR,
     B: CSR,
@@ -146,7 +159,7 @@ def spgemm(
     Bd = B.pad(8).device()
 
     rows_all, cols_all, vals_all = [], [], []
-    jitted = jax.jit(spgemm_coo_padded, static_argnames=("expand_size",))
+    jitted = _jitted_esc()
     # uniform static shapes across chunks so XLA compiles once per bucket
     max_rows = max(t - s for s, t in zip(cuts[:-1], cuts[1:]))
     row_pad = _bucket(max_rows, 256)

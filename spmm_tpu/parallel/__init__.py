@@ -1,0 +1,18 @@
+from spmm_tpu.parallel.mesh import make_mesh
+from spmm_tpu.parallel.partition import ShardedCSR, partition_rows
+from spmm_tpu.parallel.spmm_dist import (
+    spmm_dist,
+    spmm_dist_ring,
+    spmv_dist,
+    spgemm_dist,
+)
+
+__all__ = [
+    "make_mesh",
+    "ShardedCSR",
+    "partition_rows",
+    "spmm_dist",
+    "spmm_dist_ring",
+    "spmv_dist",
+    "spgemm_dist",
+]

@@ -1,0 +1,92 @@
+"""Row/region partitioning of sparse matrices across a device mesh.
+
+The reference's region split (SURVEY.md §2.4) is exactly the unit to shard:
+row-block-partition the left matrix so each shard's working set is bounded.
+Shards are padded to uniform static shapes (rows, nnz) and stacked with a
+leading shard axis — the layout ``shard_map`` consumes directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import numpy as np
+
+from spmm_tpu.formats.containers import CSR
+
+Array = object
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((max(x, 1) + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedCSR:
+    """n_shards row blocks of a CSR matrix, padded to uniform static shapes.
+
+    ``data/indices``: (n_shards, nnz_pad); ``indptr``: (n_shards, rows_pad+1);
+    padded rows are empty; padded nonzeros are zeros.  ``row_starts`` gives
+    each shard's global first row.
+    """
+
+    data: Array
+    indices: Array
+    indptr: Array
+    row_starts: Array  # (n_shards,) int32 global row offset per shard
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    n_shards: int = dataclasses.field(metadata=dict(static=True))
+    rows_per_shard: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    def device(self, sharding=None) -> "ShardedCSR":
+        import jax.numpy as jnp
+
+        if sharding is None:
+            return jax.tree.map(jnp.asarray, self)
+        return jax.tree.map(lambda a: jax.device_put(a, sharding), self)
+
+
+def partition_rows(A: CSR, n_shards: int, *, nnz_align: int = 128) -> ShardedCSR:
+    """Split A into ``n_shards`` equal row blocks (row-balanced; for
+    nnz-balanced splits preprocess first — the bitmap reorder clusters heavy
+    rows so equal-nnz splits follow from region boundaries)."""
+    h = A.host()
+    m, n = A.shape
+    rows_per = _round_up((m + n_shards - 1) // n_shards, 8)
+    indptr = np.asarray(h.indptr, dtype=np.int64)
+    starts = np.minimum(np.arange(n_shards, dtype=np.int64) * rows_per, m)
+    ends = np.minimum(starts + rows_per, m)
+    max_nnz = int(max(indptr[e] - indptr[s] for s, e in zip(starts, ends)))
+    nnz_pad = _round_up(max_nnz, nnz_align)
+
+    data = np.zeros((n_shards, nnz_pad), dtype=np.asarray(h.data).dtype)
+    indices = np.zeros((n_shards, nnz_pad), dtype=np.int32)
+    sh_indptr = np.zeros((n_shards, rows_per + 1), dtype=np.int32)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        lo, hi = int(indptr[s]), int(indptr[e])
+        data[i, : hi - lo] = np.asarray(h.data[lo:hi])
+        indices[i, : hi - lo] = np.asarray(h.indices[lo:hi], dtype=np.int32)
+        local = (indptr[s : e + 1] - lo).astype(np.int32)
+        sh_indptr[i, : e - s + 1] = local
+        sh_indptr[i, e - s + 1 :] = local[-1] if len(local) else 0
+    return ShardedCSR(
+        data=data,
+        indices=indices,
+        indptr=sh_indptr,
+        row_starts=starts.astype(np.int32),
+        shape=(m, n),
+        n_shards=n_shards,
+        rows_per_shard=rows_per,
+        nnz=A.nnz,
+    )
+
+
+def unshard_rows(Y_sharded: np.ndarray, S: ShardedCSR) -> np.ndarray:
+    """(n_shards, rows_pad, k) → (m, k): drop per-shard row padding."""
+    m = S.shape[0]
+    out = np.concatenate([np.asarray(Y_sharded[i]) for i in range(S.n_shards)], axis=0)
+    return out[:m]

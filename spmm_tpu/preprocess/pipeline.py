@@ -30,6 +30,40 @@ from spmm_tpu.preprocess.regions import split_regions
 from spmm_tpu.preprocess.reorder import bitmap_reorder
 
 
+def _relabel(packed_cols, region_nnz, nregions, ncol):
+    """Per-region first-touch relabel of the packed stream → (cols_local,
+    gather_cols, region_gather).  Native O(nnz) scan when available; numpy
+    sort-based fallback otherwise."""
+    try:
+        from spmm_tpu import native
+
+        res = native.relabel_first_touch(packed_cols, region_nnz, ncol)
+    except Exception:
+        res = None
+    if res is not None:
+        codes, gather_cols, region_counts = res
+        region_gather = np.zeros(nregions + 1, dtype=np.int64)
+        np.cumsum(region_counts, out=region_gather[1:])
+        return codes.astype(np.int64), gather_cols.astype(np.int64), region_gather
+
+    pos = np.arange(len(packed_cols), dtype=np.int64)
+    region_of_pos = np.searchsorted(region_nnz, pos, side="right") - 1
+    key = region_of_pos * np.int64(ncol) + packed_cols
+    uniq, first_pos, inv = np.unique(key, return_index=True, return_inverse=True)
+    # np.unique's first_pos is the first occurrence in the packed order
+    # (stable mergesort); order the uniques by (region, first touch position).
+    ureg = (uniq // np.int64(ncol)).astype(np.int64)
+    order = np.lexsort((first_pos, ureg))
+    rank_of_uniq = np.empty(len(uniq), dtype=np.int64)
+    region_counts = np.bincount(ureg, minlength=nregions)
+    region_gather = np.zeros(nregions + 1, dtype=np.int64)
+    np.cumsum(region_counts, out=region_gather[1:])
+    rank_of_uniq[order] = np.arange(len(uniq), dtype=np.int64) - region_gather[ureg[order]]
+    cols_local = rank_of_uniq[inv]
+    gather_cols = (uniq % np.int64(ncol))[order]
+    return cols_local, gather_cols, region_gather
+
+
 def preprocess(A: CSR, config: Config | None = None) -> BlockedCSR:
     cfg = config or default_config()
     h = A.host()
@@ -60,7 +94,7 @@ def preprocess(A: CSR, config: Config | None = None) -> BlockedCSR:
     np.cumsum(lens_final, out=indptr_final[1:])
     nnz = A.nnz
     pos = np.arange(nnz, dtype=np.int64)
-    row_of_pos = np.searchsorted(indptr_final, pos, side="right") - 1
+    row_of_pos = np.repeat(np.arange(nrow, dtype=np.int64), lens_final)
     src = orig_indptr[row_perm[row_of_pos]] + (pos - indptr_final[row_of_pos])
     data2 = np.asarray(h.data)[src]
     cols2 = np.asarray(h.indices, dtype=np.int64)[src]
@@ -89,24 +123,11 @@ def preprocess(A: CSR, config: Config | None = None) -> BlockedCSR:
     # --- region bookkeeping -----------------------------------------------------
     nregions = len(region_bounds) - 1
     region_nnz = indptr_final[region_bounds]
-    region_of_pos = np.searchsorted(region_nnz, pos, side="right") - 1
 
     # --- column relabel: first-touch order of the packed stream, per region ----
-    key = region_of_pos * np.int64(ncol) + packed_cols
-    uniq, first_pos, inv = np.unique(key, return_index=True, return_inverse=True)
-    # np.unique's first_pos is the first occurrence in the ORIGINAL (packed)
-    # order because it uses a stable mergesort on values; order the uniques by
-    # (region, first touch position) to get relabel ids.
-    ureg = (uniq // np.int64(ncol)).astype(np.int64)
-    order = np.lexsort((first_pos, ureg))
-    # local id of each unique within its region, in first-touch order
-    rank_of_uniq = np.empty(len(uniq), dtype=np.int64)
-    region_counts = np.bincount(ureg, minlength=nregions)
-    region_gather = np.zeros(nregions + 1, dtype=np.int64)
-    np.cumsum(region_counts, out=region_gather[1:])
-    rank_of_uniq[order] = np.arange(len(uniq), dtype=np.int64) - region_gather[ureg[order]]
-    cols_local = rank_of_uniq[inv]
-    gather_cols = (uniq % np.int64(ncol))[order]  # original col per relabel slot
+    cols_local, gather_cols, region_gather = _relabel(
+        packed_cols, region_nnz, nregions, ncol
+    )
 
     # --- seq_input: per-slot RHS row position for self-referential A×A --------
     if nrow == ncol:
@@ -141,7 +162,7 @@ def preprocess(A: CSR, config: Config | None = None) -> BlockedCSR:
         nnz=nnz,
         nregions=nregions,
         ngroups=int(ps.group_row.size),
-        ndistinct=int(len(uniq)),
+        ndistinct=int(len(gather_cols)),
     )
 
 

@@ -34,6 +34,14 @@ def split_regions(A: CSR, budget: int = 65536, *, min_window_rows: int = 4096) -
     h = A.host()
     nrow = A.shape[0]
     indptr = np.asarray(h.indptr, dtype=np.int64)
+    try:
+        from spmm_tpu import native
+
+        bounds_n = native.region_split(indptr, np.asarray(h.indices[: A.nnz]), A.shape[1], budget)
+        if bounds_n is not None:
+            return bounds_n
+    except Exception:
+        pass
     cols = np.asarray(h.indices[: A.nnz], dtype=np.int64)
     bounds = [0]
     start = 0

@@ -31,12 +31,27 @@ from spmm_tpu.formats.containers import CSR, permute_rows
 
 
 def dominant_sections(A: CSR, section_size: int = 2048) -> np.ndarray:
-    """Per-row dominant section id, or -1 for empty rows (numpy host path)."""
+    """Per-row dominant section id, or -1 for empty rows (host path).
+
+    Uses the native O(nnz) scan when available (CSR columns are sorted within
+    rows by construction); falls back to a vectorized numpy formulation.
+    """
     h = A.host()
     nrow = A.shape[0]
     if A.nnz == 0:
         return np.full(nrow, -1, dtype=np.int64)
-    rows = np.asarray(h.row_ids()[: A.nnz], dtype=np.int64)
+    try:
+        from spmm_tpu import native
+
+        dom = native.dominant_sections(
+            np.asarray(h.indptr, dtype=np.int64), np.asarray(h.indices[: A.nnz]), section_size
+        )
+        if dom is not None:
+            return dom
+    except Exception:
+        pass
+    lens = np.asarray(h.row_lengths(), dtype=np.int64)
+    rows = np.repeat(np.arange(nrow, dtype=np.int64), lens)
     cols = np.asarray(h.indices[: A.nnz], dtype=np.int64)
     sect = cols // section_size
     nsect = int((A.shape[1] + section_size - 1) // section_size)
