@@ -47,67 +47,110 @@ def bench_preprocess(A, cfg, iters=3):
 
 
 def bench_kernels(A, P, k, chip):
+    """Kernel timings via device-side loops (the axon tunnel makes per-call
+    host timing meaningless: ~50 ms dispatch+fence floor, and
+    block_until_ready does not actually block — see utils/timing.py)."""
     import jax
     import jax.numpy as jnp
 
+    from spmm_tpu.formats.ell import ell_pack
     from spmm_tpu.ops import spmm_xla, spmv_xla, spmm_roofline, spmv_roofline
     from spmm_tpu.ops.blocked import blocked_spmm_xla
-    from spmm_tpu.utils.timing import measure
+    from spmm_tpu.ops.ell_spmm import ell_spmm, ell_spmv
+    from spmm_tpu.utils.timing import measure_device_loop
 
     extras = {}
     m, n = A.shape
     Ad = A.pad(128).device()
-    B = jnp.asarray(np.random.default_rng(0).standard_normal((n, k)).astype(np.float32))
-    x = jnp.asarray(np.random.default_rng(1).standard_normal(n).astype(np.float32))
+    B0 = jnp.asarray(np.random.default_rng(0).standard_normal((m, k)).astype(np.float32))
+    x0 = jnp.asarray(np.random.default_rng(1).standard_normal(m).astype(np.float32))
 
-    f_spmm = jax.jit(spmm_xla)
-    t = measure(f_spmm, Ad, B, name="spmm_csr_xla", warmup=1, iters=5)
-    log(t)
+    def norm(y):
+        return y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-9)
+
+    flops = 2.0 * A.nnz * k
     rl = spmm_roofline(A.nnz, m, n, k, chip=chip)
-    extras["spmm_k128_ms"] = round(t.median_ms, 3)
-    extras["spmm_k128_gflops"] = round(2.0 * A.nnz * k / (t.median_ms * 1e-3) / 1e9, 1)
-    extras["spmm_k128_sol_frac"] = round(rl.efficiency(t.median_ms * 1e-3), 3)
-
-    f_spmv = jax.jit(spmv_xla)
-    t = measure(f_spmv, Ad, x, name="spmv_csr_xla", warmup=1, iters=5)
-    log(t)
     rlv = spmv_roofline(A.nnz, m, n, chip=chip)
-    extras["spmv_ms"] = round(t.median_ms, 3)
-    extras["spmv_gnnz_per_s"] = round(A.nnz / (t.median_ms * 1e-3) / 1e9, 3)
-    extras["spmv_sol_frac"] = round(rlv.efficiency(t.median_ms * 1e-3), 3)
+
+    def record(prefix, t, fl=flops, sol=rl):
+        log(t)
+        extras[f"{prefix}_ms"] = round(t.median_ms, 3)
+        if fl:
+            extras[f"{prefix}_gflops"] = round(fl / (t.median_ms * 1e-3) / 1e9, 1)
+        if sol:
+            extras[f"{prefix}_sol_frac"] = round(sol.efficiency(t.median_ms * 1e-3), 3)
+
+    t = measure_device_loop(
+        lambda c, Ad: norm(spmm_xla(Ad, c)), B0, (Ad,), name="spmm_csr_k128", iters=8
+    )
+    record("spmm_csr_k128", t)
+
+    t = measure_device_loop(
+        lambda c, Ad: norm(spmv_xla(Ad, c)), x0, (Ad,), name="spmv_csr", iters=8
+    )
+    record("spmv_csr", t, fl=2.0 * A.nnz, sol=rlv)
+    extras["spmv_csr_gnnz_per_s"] = round(A.nnz / (t.median_ms * 1e-3) / 1e9, 3)
+
+    E = ell_pack(A).device()
+    extras["ell_padding_factor"] = round(E.padded_nnz / max(A.nnz, 1), 3)
+    t = measure_device_loop(
+        lambda c, E: norm(ell_spmm(E, c)), B0, (E,), name="spmm_ell_k128", iters=8
+    )
+    record("spmm_ell_k128", t)
+    t = measure_device_loop(
+        lambda c, E: norm(ell_spmv(E, c)), x0, (E,), name="spmv_ell", iters=8
+    )
+    record("spmv_ell", t, fl=2.0 * A.nnz, sol=rlv)
 
     if P is not None:
         Pd = P.device()
-        f_blk = jax.jit(blocked_spmm_xla)
-        t = measure(f_blk, Pd, B, name="spmm_blocked_xla", warmup=1, iters=5)
-        log(t)
-        extras["spmm_blocked_k128_ms"] = round(t.median_ms, 3)
-        extras["spmm_blocked_k128_gflops"] = round(
-            2.0 * A.nnz * k / (t.median_ms * 1e-3) / 1e9, 1
+        t = measure_device_loop(
+            lambda c, Pd: norm(blocked_spmm_xla(Pd, c)),
+            B0,
+            (Pd,),
+            name="spmm_blocked_k128",
+            iters=8,
         )
+        record("spmm_blocked_k128", t)
     return extras
 
 
 def bench_spgemm(A, chip):
-    from spmm_tpu.ops import spgemm, spgemm_expand_bound, spgemm_roofline
+    """Device-resident ESC timing (one chunk) + end-to-end host-API timing."""
+    import jax
+    import jax.numpy as jnp
+
+    from spmm_tpu.ops import spgemm_expand_bound, spgemm_roofline
+    from spmm_tpu.ops.spgemm import _bucket, spgemm_coo_padded
+    from spmm_tpu.utils.timing import measure_device_loop
 
     extras = {}
     expand = spgemm_expand_bound(A, A)
-    log(f"spgemm expansion: {expand/1e6:.1f} M partial products")
-    # warm the compile on the first chunk sizes, then time end-to-end
-    t0 = time.perf_counter()
-    C = spgemm(A, A, max_expand_per_chunk=32 * 1024 * 1024)
-    warm_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    C = spgemm(A, A, max_expand_per_chunk=32 * 1024 * 1024)
-    hot_s = time.perf_counter() - t0
-    rl = spgemm_roofline(expand, A.nnz, A.nnz, C.nnz, chip=chip)
-    log(f"spgemm A@A: {hot_s*1e3:.0f} ms hot ({warm_s:.1f}s cold), out nnz {C.nnz/1e6:.1f}M")
-    extras["spgemm_ms"] = round(hot_s * 1e3, 1)
-    extras["spgemm_gflops"] = round(2.0 * expand / hot_s / 1e9, 1)
-    extras["spgemm_mnnz_out_per_s"] = round(C.nnz / hot_s / 1e6, 1)
-    extras["spgemm_sol_frac"] = round(rl.efficiency(hot_s), 3)
-    extras["spgemm_out_nnz"] = int(C.nnz)
+    E = _bucket(expand)
+    log(f"spgemm expansion: {expand/1e6:.1f} M partial products (bucket {E/1e6:.0f}M)")
+    Ad = A.pad(256).device()
+
+    import dataclasses as _dc
+
+    def step(c, Ad):
+        # thread the carry through A's values so XLA cannot hoist the ESC out
+        # of the timing loop as loop-invariant
+        Ad2 = _dc.replace(Ad, data=Ad.data + c * 0)
+        r, cc, v, kn = spgemm_coo_padded(Ad2, Ad2, E)
+        return kn.astype(jnp.float32) * 0 + v[-1] + r[-1].astype(jnp.float32) * 0
+
+    t = measure_device_loop(step, jnp.zeros(()), (Ad,), name="spgemm_esc_device", iters=4)
+    log(t)
+    r, c, v, kn = jax.jit(spgemm_coo_padded, static_argnames=("expand_size",))(
+        Ad, Ad, expand_size=E
+    )
+    out_nnz = int(kn)
+    rl = spgemm_roofline(expand, A.nnz, A.nnz, out_nnz, chip=chip)
+    extras["spgemm_ms"] = round(t.median_ms, 1)
+    extras["spgemm_gflops"] = round(2.0 * expand / (t.median_ms * 1e-3) / 1e9, 1)
+    extras["spgemm_mnnz_out_per_s"] = round(out_nnz / (t.median_ms * 1e-3) / 1e6, 1)
+    extras["spgemm_sol_frac"] = round(rl.efficiency(t.median_ms * 1e-3), 3)
+    extras["spgemm_out_nnz"] = out_nnz
     return extras
 
 
@@ -119,6 +162,13 @@ def main():
     ap.add_argument("--measure-reference", action="store_true",
                     help="also run the reference binary on the same matrix")
     args = ap.parse_args()
+
+    # persistent compile cache: remote (axon) compiles cost 20-60 s each and
+    # dominate bench wall time; cached reruns skip them entirely
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_spmm_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from spmm_tpu.config import Config
     from spmm_tpu.formats.synthetic import webgraph_like

@@ -108,11 +108,15 @@ class CSR:
         return jax.tree.map(np.asarray, self)
 
     def row_ids(self) -> Array:
-        """Expand indptr to a per-nonzero row id (padded tail maps to nrow-1)."""
-        xp = np if isinstance(self.data, np.ndarray) else jnp
-        pos = xp.arange(self.nnz_pad, dtype=xp.int32)
-        r = xp.searchsorted(self.indptr, pos, side="right").astype(xp.int32) - 1
-        return xp.clip(r, 0, self.shape[0] - 1)
+        """Expand indptr to a per-nonzero row id (padded tail maps to the last
+        nonempty row; padded data is zero so downstream scatters are no-ops)."""
+        if isinstance(self.data, np.ndarray):
+            pos = np.arange(self.nnz_pad, dtype=np.int64)
+            r = np.searchsorted(self.indptr, pos, side="right").astype(np.int32) - 1
+            return np.clip(r, 0, self.shape[0] - 1)
+        from spmm_tpu.ops.segments import boundary_segments
+
+        return boundary_segments(self.indptr, self.nnz_pad)
 
     def row_lengths(self) -> Array:
         return self.indptr[1:] - self.indptr[:-1]

@@ -1,0 +1,138 @@
+"""ELLPACK / SELL format — scatter-free SpMM on TPU.
+
+XLA's segment-sum scatter costs as much as the gathers themselves (measured
+~43 ms vs 25 ms for web-Google SpMM on v5e).  Sorting rows by length and
+padding each power-of-two length class to a dense (R, L) slab turns the row
+reduction into a dense axis-1 sum — no scatter at all; one (m, k) gather
+un-permutes the output.  This is the TPU-shaped version of the reference's
+panel length sort (v8sort.h:152-232): same sort, but the payoff is cast as
+dense-slab vectorization instead of SIMD v8 groups.
+
+Row layout in sorted order: [empty rows][slab 0][slab 1]...[leftover rows],
+where slab b holds all rows of its power-of-two length class and leftover
+rows (length > max_len) form a padded CSR handled by the segment-sum path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import numpy as np
+
+from spmm_tpu.formats.containers import CSR
+
+Array = object
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ELL:
+    #: per-class dense slabs: data[b] is (R_b, L_b)
+    data: tuple  # tuple of float arrays
+    cols: tuple  # tuple of int32 arrays, same shapes
+    #: leftover long rows as a padded CSR (0 logical rows when none)
+    rest: CSR
+    #: sorted_pos -> original row
+    perm: Array
+    inv_perm: Array
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    n_empty: int = dataclasses.field(metadata=dict(static=True))
+    n_rest_rows: int = dataclasses.field(metadata=dict(static=True))
+
+    def device(self) -> "ELL":
+        import jax.numpy as jnp
+
+        return jax.tree.map(jnp.asarray, self)
+
+    @property
+    def padded_nnz(self) -> int:
+        return int(sum(d.shape[0] * d.shape[1] for d in self.data)) + int(self.rest.nnz)
+
+
+def _length_class(lens: np.ndarray, exact_max: int, step: int, max_len: int) -> np.ndarray:
+    """Slab width per row: exact lengths up to ``exact_max`` (zero padding),
+    multiples of ``step`` up to ``max_len`` (≤ step-1 padding per row), and
+    ``max_len + 1`` marking leftover rows."""
+    cls = np.where(lens <= exact_max, lens, ((lens + step - 1) // step) * step)
+    return np.where(cls > max_len, max_len + 1, cls)
+
+
+def ell_pack(A: CSR, *, exact_max: int = 64, step: int = 32, max_len: int = 2048) -> ELL:
+    """Host packing: sort rows by slab width; one dense slab per distinct
+    width (padding factor ~1.1 on power-law graphs); rows longer than
+    ``max_len`` go to the leftover CSR."""
+    h = A.host()
+    m, n = A.shape
+    lens = np.asarray(h.row_lengths(), dtype=np.int64)
+    indptr = np.asarray(h.indptr, dtype=np.int64)
+    indices = np.asarray(h.indices[: A.nnz], dtype=np.int64)
+    dat = np.asarray(h.data[: A.nnz])
+
+    cls = _length_class(lens, exact_max, step, max_len)
+    perm = np.lexsort((np.arange(m), lens, cls))
+    cls_s = cls[perm]
+    n_empty = int(np.searchsorted(cls_s, 0, side="right"))
+
+    data_slabs, col_slabs = [], []
+    for L in np.unique(cls_s):
+        if L == 0 or L > max_len:
+            continue
+        lo = int(np.searchsorted(cls_s, L, side="left"))
+        hi = int(np.searchsorted(cls_s, L, side="right"))
+        R, L = hi - lo, int(L)
+        rows_here = perm[lo:hi]
+        slab_d = np.zeros((R, L), dtype=dat.dtype)
+        slab_c = np.zeros((R, L), dtype=np.int64)
+        ptr = indptr[rows_here]
+        ln = lens[rows_here]
+        pos = np.arange(L)
+        mask = pos[None, :] < ln[:, None]
+        src = (ptr[:, None] + pos[None, :])[mask]
+        slab_d[mask] = dat[src]
+        slab_c[mask] = indices[src]
+        data_slabs.append(slab_d)
+        col_slabs.append(slab_c.astype(np.int32))
+
+    # leftover long rows -> padded CSR in sorted order
+    lo = int(np.searchsorted(cls_s, max_len + 1, side="left"))
+    rest_rows = perm[lo:]
+    n_rest = len(rest_rows)
+    if n_rest:
+        ln = lens[rest_rows]
+        rest_indptr = np.zeros(n_rest + 1, dtype=np.int64)
+        np.cumsum(ln, out=rest_indptr[1:])
+        pos = np.arange(int(rest_indptr[-1]), dtype=np.int64)
+        r_of = np.repeat(np.arange(n_rest, dtype=np.int64), ln)
+        src = indptr[rest_rows][r_of] + (pos - rest_indptr[r_of])
+        rest = CSR(
+            data=dat[src],
+            indices=indices[src].astype(np.int32),
+            indptr=rest_indptr.astype(np.int32),
+            shape=(n_rest, n),
+            nnz=int(rest_indptr[-1]),
+        ).pad(8)
+    else:
+        rest = CSR(
+            data=np.zeros(1, dat.dtype),
+            indices=np.zeros(1, np.int32),
+            indptr=np.zeros(2, np.int32),
+            shape=(1, n),
+            nnz=0,
+        )
+
+    inv = np.empty(m, dtype=np.int64)
+    inv[perm] = np.arange(m)
+    return ELL(
+        data=tuple(data_slabs),
+        cols=tuple(col_slabs),
+        rest=rest,
+        perm=perm.astype(np.int32),
+        inv_perm=inv.astype(np.int32),
+        shape=(m, n),
+        nnz=A.nnz,
+        n_empty=n_empty,
+        n_rest_rows=n_rest,
+    )

@@ -1,6 +1,10 @@
 from spmm_tpu.ops.spmm import spmm, spmv, spmm_xla, spmv_xla
 from spmm_tpu.ops.spgemm import spgemm, spgemm_coo_padded, spgemm_expand_bound
+from spmm_tpu.ops.ell_spmm import ell_spmm, ell_spmv
+from spmm_tpu.ops.pallas_bsr import bsr_spmm_pallas, bsr_spmm_xla
+from spmm_tpu.ops.blocked import blocked_spmm_xla
 from spmm_tpu.ops.roofline import spmm_roofline, spmv_roofline, spgemm_roofline, ChipSpec
+from spmm_tpu.ops.segments import boundary_segments
 
 __all__ = [
     "spmm",
@@ -10,8 +14,14 @@ __all__ = [
     "spgemm",
     "spgemm_coo_padded",
     "spgemm_expand_bound",
+    "ell_spmm",
+    "ell_spmv",
+    "bsr_spmm_pallas",
+    "bsr_spmm_xla",
+    "blocked_spmm_xla",
     "spmm_roofline",
     "spmv_roofline",
     "spgemm_roofline",
     "ChipSpec",
+    "boundary_segments",
 ]

@@ -25,12 +25,11 @@ def _final_out_rows(P: BlockedCSR) -> jax.Array:
     interleaved, so position ``group_nnz[g] + t`` belongs to group-row
     ``t % 8`` (reference layout, serial_newblock_clock.cpp:366-385).
     """
+    from spmm_tpu.ops.segments import boundary_segments
+
     nnz_pad = P.data.shape[0]
-    indptr = jnp.asarray(P.indptr)
     pos = jnp.arange(nnz_pad, dtype=jnp.int32)
-    r0 = jnp.clip(
-        jnp.searchsorted(indptr, pos, side="right").astype(jnp.int32) - 1, 0, P.nrow - 1
-    )
+    r0 = boundary_segments(jnp.asarray(P.indptr), nnz_pad)
     g = jnp.asarray(P.row_group)[r0]
     has_groups = P.ngroups > 0
     if not has_groups:
@@ -43,14 +42,10 @@ def _final_out_rows(P: BlockedCSR) -> jax.Array:
 
 def _global_cols(P: BlockedCSR) -> jax.Array:
     """Undo the per-region relabel: original column id per packed nonzero."""
+    from spmm_tpu.ops.segments import boundary_segments
+
     nnz_pad = P.data.shape[0]
-    pos = jnp.arange(nnz_pad, dtype=jnp.int32)
-    region_nnz = jnp.asarray(P.region_nnz)
-    reg = jnp.clip(
-        jnp.searchsorted(region_nnz, pos, side="right").astype(jnp.int32) - 1,
-        0,
-        P.nregions - 1,
-    )
+    reg = boundary_segments(jnp.asarray(P.region_nnz), nnz_pad)
     slot = jnp.asarray(P.region_gather)[reg] + jnp.asarray(P.cols_local)
     return jnp.asarray(P.gather_cols)[jnp.clip(slot, 0, P.ndistinct - 1)]
 

@@ -1,0 +1,65 @@
+"""Scatter-free SpMM/SpMV over the ELL format.
+
+Per length-class slab (R, L): gather B rows for all slab columns, multiply by
+the slab values, reduce densely over L (no scatter); concatenate slabs in
+sorted-row order; one gather un-permutes to the original row order.  The
+leftover long rows use the segment-sum path (they are few).
+
+HBM traffic ≈ padded_nnz·(k+2)·4 + 2·m·k·4 — within ~1.3x of the gather-bound
+speed of light for unstructured SpMM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from spmm_tpu.formats.ell import ELL
+
+
+def ell_spmm(E: ELL, B: jax.Array, *, accum_dtype=jnp.float32, permute_back: bool = True):
+    """Y[m, k] = A @ B for A in ELL form."""
+    k = B.shape[-1]
+    parts = [jnp.zeros((E.n_empty, k), accum_dtype)]
+    for slab_d, slab_c in zip(E.data, E.cols):
+        R, L = slab_d.shape
+        if L <= 8:
+            # unrolled accumulate: each take fuses into the multiply-add, no
+            # (R, L, k) intermediate in HBM
+            y = jnp.zeros((R, k), accum_dtype)
+            for e in range(L):
+                y = y + slab_d[:, e : e + 1].astype(accum_dtype) * jnp.take(
+                    B, slab_c[:, e], axis=0
+                ).astype(accum_dtype)
+        else:
+            gathered = jnp.take(B, slab_c.reshape(-1), axis=0).reshape(R, L, k)
+            y = jnp.einsum(
+                "rl,rlk->rk",
+                slab_d.astype(accum_dtype),
+                gathered.astype(accum_dtype),
+            )
+        parts.append(y)
+    if E.n_rest_rows:
+        from spmm_tpu.ops.spmm import spmm_xla
+
+        parts.append(spmm_xla(E.rest, B, accum_dtype=accum_dtype)[: E.n_rest_rows])
+    y_sorted = jnp.concatenate(parts, axis=0)
+    if not permute_back:
+        return y_sorted
+    return jnp.take(y_sorted, jnp.asarray(E.inv_perm), axis=0)
+
+
+def ell_spmv(E: ELL, x: jax.Array, *, accum_dtype=jnp.float32, permute_back: bool = True):
+    """y[m] = A @ x for A in ELL form (dense per-slab reductions, no scatter)."""
+    parts = [jnp.zeros((E.n_empty,), accum_dtype)]
+    for slab_d, slab_c in zip(E.data, E.cols):
+        gathered = jnp.take(x, slab_c, axis=0)
+        parts.append(jnp.sum(slab_d.astype(accum_dtype) * gathered.astype(accum_dtype), axis=1))
+    if E.n_rest_rows:
+        from spmm_tpu.ops.spmm import spmv_xla
+
+        parts.append(spmv_xla(E.rest, x, accum_dtype=accum_dtype)[: E.n_rest_rows])
+    y_sorted = jnp.concatenate(parts, axis=0)
+    if not permute_back:
+        return y_sorted
+    return jnp.take(y_sorted, jnp.asarray(E.inv_perm), axis=0)

@@ -64,19 +64,17 @@ def spgemm_coo_padded(
     b_dat = jnp.asarray(B.data)
 
     # ---- expand: one slot per partial product --------------------------------
+    from spmm_tpu.ops.segments import boundary_segments
+
     pos = jnp.arange(A.nnz_pad, dtype=jnp.int32)
-    a_rows = jnp.clip(
-        jnp.searchsorted(jnp.asarray(A.indptr), pos, side="right").astype(jnp.int32) - 1,
-        0,
-        m - 1,
-    )
+    a_rows = boundary_segments(jnp.asarray(A.indptr), A.nnz_pad)
     lb = b_indptr[1:] - b_indptr[:-1]
     counts = jnp.where(pos < A.nnz, lb[jnp.clip(a_ind, 0, B.shape[0] - 1)], 0)
     offsets = jnp.concatenate([jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)])
     total = offsets[-1]
 
     e = jnp.arange(expand_size, dtype=jnp.int32)
-    src = jnp.clip(jnp.searchsorted(offsets, e, side="right").astype(jnp.int32) - 1, 0, A.nnz_pad - 1)
+    src = boundary_segments(offsets, expand_size)
     valid = e < total
     j = jnp.clip(a_ind[src], 0, B.shape[0] - 1)
     t = e - offsets[src].astype(jnp.int32)

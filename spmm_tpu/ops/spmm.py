@@ -22,9 +22,9 @@ from spmm_tpu.formats.containers import CSR
 
 
 def _row_ids(A: CSR) -> jax.Array:
-    pos = jnp.arange(A.nnz_pad, dtype=jnp.int32)
-    r = jnp.searchsorted(jnp.asarray(A.indptr), pos, side="right").astype(jnp.int32) - 1
-    return jnp.clip(r, 0, A.shape[0] - 1)
+    from spmm_tpu.ops.segments import boundary_segments
+
+    return boundary_segments(jnp.asarray(A.indptr), A.nnz_pad)
 
 
 def spmm_xla(A: CSR, B: jax.Array, *, accum_dtype=jnp.float32) -> jax.Array:
@@ -38,21 +38,36 @@ def spmm_xla(A: CSR, B: jax.Array, *, accum_dtype=jnp.float32) -> jax.Array:
     rows = _row_ids(A)
     gathered = jnp.take(B, jnp.asarray(A.indices), axis=0).astype(accum_dtype)
     contrib = gathered * jnp.asarray(A.data).astype(accum_dtype)[:, None]
-    return jax.ops.segment_sum(contrib, rows, num_segments=A.shape[0])
+    return jax.ops.segment_sum(
+        contrib, rows, num_segments=A.shape[0], indices_are_sorted=True
+    )
 
 
 def spmv_xla(A: CSR, x: jax.Array, *, accum_dtype=jnp.float32) -> jax.Array:
     """y[m] = A[m, n] @ x[n]."""
     rows = _row_ids(A)
     contrib = (jnp.take(x, jnp.asarray(A.indices)) * jnp.asarray(A.data)).astype(accum_dtype)
-    return jax.ops.segment_sum(contrib, rows, num_segments=A.shape[0])
+    return jax.ops.segment_sum(
+        contrib, rows, num_segments=A.shape[0], indices_are_sorted=True
+    )
 
 
 def spmm(A, B: jax.Array, **kw) -> jax.Array:
-    """Dispatch SpMM on the input format (CSR → XLA path; BlockedCSR → blocked
-    kernel, see spmm_tpu.ops.blocked)."""
+    """Dispatch SpMM on the input format: ELL (fastest unstructured path,
+    scatter-free), BSR (MXU block products), BlockedCSR (reference-parity
+    packed format), CSR (gather + segment-sum)."""
+    from spmm_tpu.formats.bsr import BSR
     from spmm_tpu.formats.containers import BlockedCSR
+    from spmm_tpu.formats.ell import ELL
 
+    if isinstance(A, ELL):
+        from spmm_tpu.ops.ell_spmm import ell_spmm
+
+        return ell_spmm(A, B, **kw)
+    if isinstance(A, BSR):
+        from spmm_tpu.ops.pallas_bsr import bsr_spmm_pallas
+
+        return bsr_spmm_pallas(A, B, **kw)
     if isinstance(A, BlockedCSR):
         from spmm_tpu.ops.blocked import blocked_spmm
 
@@ -62,7 +77,12 @@ def spmm(A, B: jax.Array, **kw) -> jax.Array:
 
 def spmv(A, x: jax.Array, **kw) -> jax.Array:
     from spmm_tpu.formats.containers import BlockedCSR
+    from spmm_tpu.formats.ell import ELL
 
+    if isinstance(A, ELL):
+        from spmm_tpu.ops.ell_spmm import ell_spmv
+
+        return ell_spmv(A, x, **kw)
     if isinstance(A, BlockedCSR):
         from spmm_tpu.ops.blocked import blocked_spmm
 

@@ -24,10 +24,10 @@ from spmm_tpu.parallel.partition import ShardedCSR
 
 def _local_spmm(data, indices, indptr, B, accum_dtype=jnp.float32):
     """Dense-RHS SpMM on one shard's padded CSR block (rows_pad, nnz_pad)."""
+    from spmm_tpu.ops.segments import boundary_segments
+
     rows_pad = indptr.shape[0] - 1
-    nnz_pad = data.shape[0]
-    pos = jnp.arange(nnz_pad, dtype=jnp.int32)
-    r = jnp.clip(jnp.searchsorted(indptr, pos, side="right").astype(jnp.int32) - 1, 0, rows_pad - 1)
+    r = boundary_segments(indptr, data.shape[0])
     contrib = jnp.take(B, indices, axis=0).astype(accum_dtype) * data.astype(accum_dtype)[:, None]
     return jax.ops.segment_sum(contrib, r, num_segments=rows_pad, indices_are_sorted=True)
 
@@ -80,13 +80,11 @@ def spmm_dist_ring(S: ShardedCSR, B: jax.Array, mesh: Mesh, *, axis: str = "rows
     )
     def step(data, indices, indptr, b_local):
         data, indices, indptr, b_local = data[0], indices[0], indptr[0], b_local[0]
+        from spmm_tpu.ops.segments import boundary_segments
+
         me = jax.lax.axis_index(axis)
         rows_pad = indptr.shape[0] - 1
-        nnz_pad = data.shape[0]
-        pos = jnp.arange(nnz_pad, dtype=jnp.int32)
-        r = jnp.clip(
-            jnp.searchsorted(indptr, pos, side="right").astype(jnp.int32) - 1, 0, rows_pad - 1
-        )
+        r = boundary_segments(indptr, data.shape[0])
         perm = [(i, (i - 1) % n) for i in range(n)]  # pass panels leftwards
 
         def body(t, carry):

@@ -70,13 +70,30 @@ def preprocess(A: CSR, config: Config | None = None) -> BlockedCSR:
     nrow, ncol = A.shape
 
     # --- pass 1: dominant-section row reorder --------------------------------
-    A1, perm1 = bitmap_reorder(h, cfg.section_size, materialize=True)
+    _, perm1 = bitmap_reorder(h, cfg.section_size, materialize=False)
+    orig_lens = np.asarray(h.row_lengths(), dtype=np.int64)
+    lens1 = orig_lens[perm1]
 
-    # --- pass 2: VMEM-budget region split -------------------------------------
-    region_bounds = split_regions(A1, cfg.region_budget)
+    # --- pass 2: VMEM-budget region split (over the permuted row order) -------
+    region_bounds = None
+    try:
+        from spmm_tpu import native
+
+        region_bounds = native.region_split_permuted(
+            np.asarray(h.indptr, dtype=np.int64),
+            np.asarray(h.indices[: A.nnz]),
+            perm1,
+            ncol,
+            cfg.region_budget,
+        )
+    except Exception:
+        region_bounds = None
+    if region_bounds is None:
+        from spmm_tpu.formats.containers import permute_rows
+
+        region_bounds = split_regions(permute_rows(h, perm1), cfg.region_budget)
 
     # --- pass 3a/3b: panelize + per-panel length sort + v8 grouping -----------
-    lens1 = np.asarray(A1.row_lengths(), dtype=np.int64)
     panel_bounds = panelize(lens1, region_bounds, cfg.panel_rows, cfg.group_width)
     ps = panel_sort(
         lens1, panel_bounds, group_width=cfg.group_width, max_len=cfg.max_group_row_len
@@ -93,41 +110,62 @@ def preprocess(A: CSR, config: Config | None = None) -> BlockedCSR:
     indptr_final = np.zeros(nrow + 1, dtype=np.int64)
     np.cumsum(lens_final, out=indptr_final[1:])
     nnz = A.nnz
-    pos = np.arange(nnz, dtype=np.int64)
-    row_of_pos = np.repeat(np.arange(nrow, dtype=np.int64), lens_final)
-    src = orig_indptr[row_perm[row_of_pos]] + (pos - indptr_final[row_of_pos])
-    data2 = np.asarray(h.data)[src]
-    cols2 = np.asarray(h.indices, dtype=np.int64)[src]
-
-    # --- v8 interleave: dest = base + 8*e + r within each group's 8L block ----
     grouped = ps.is_grouped  # per final row
     grouped_rank = np.cumsum(grouped) - 1  # rank among grouped rows
     W = cfg.group_width
     group_of_row = np.where(grouped, grouped_rank // W, -1)
-    rr_of_row = np.where(grouped, grouped_rank % W, 0)
-    group_base = indptr_final[ps.group_row] if ps.group_row.size else np.zeros(0, np.int64)
-
-    g = group_of_row[row_of_pos]
-    in_group_nnz = g >= 0
-    e = pos - indptr_final[row_of_pos]
-    dest = np.where(
-        in_group_nnz,
-        group_base[np.maximum(g, 0)] + W * e + rr_of_row[row_of_pos],
-        pos,
-    )
-    packed_data = np.empty_like(data2)
-    packed_cols = np.empty_like(cols2)
-    packed_data[dest] = data2
-    packed_cols[dest] = cols2
-
-    # --- region bookkeeping -----------------------------------------------------
     nregions = len(region_bounds) - 1
     region_nnz = indptr_final[region_bounds]
 
-    # --- column relabel: first-touch order of the packed stream, per region ----
-    cols_local, gather_cols, region_gather = _relabel(
-        packed_cols, region_nnz, nregions, ncol
-    )
+    # --- pass 3c: gather + v8 interleave + relabel -----------------------------
+    res = None
+    if W == 8:  # the native pass hardwires the sublane width
+        try:
+            from spmm_tpu import native
+
+            res = native.pack_blocked(
+                orig_indptr,
+                np.asarray(h.indices[:nnz]),
+                np.asarray(h.data[:nnz]),
+                row_perm,
+                indptr_final,
+                group_of_row,
+                region_bounds,
+                ncol,
+            )
+        except Exception:
+            res = None
+    if res is not None:
+        packed_data, cols_local, gather_cols, counts = res
+        region_gather = np.zeros(nregions + 1, dtype=np.int64)
+        np.cumsum(counts, out=region_gather[1:])
+        cols_local = cols_local.astype(np.int64)
+        gather_cols = gather_cols.astype(np.int64)
+    else:
+        pos = np.arange(nnz, dtype=np.int64)
+        row_of_pos = np.repeat(np.arange(nrow, dtype=np.int64), lens_final)
+        src = orig_indptr[row_perm[row_of_pos]] + (pos - indptr_final[row_of_pos])
+        data2 = np.asarray(h.data)[src]
+        cols2 = np.asarray(h.indices, dtype=np.int64)[src]
+
+        # v8 interleave: dest = base + 8*e + r within each group's 8L block
+        rr_of_row = np.where(grouped, grouped_rank % W, 0)
+        group_base = indptr_final[ps.group_row] if ps.group_row.size else np.zeros(0, np.int64)
+        g = group_of_row[row_of_pos]
+        in_group_nnz = g >= 0
+        e = pos - indptr_final[row_of_pos]
+        dest = np.where(
+            in_group_nnz,
+            group_base[np.maximum(g, 0)] + W * e + rr_of_row[row_of_pos],
+            pos,
+        )
+        packed_data = np.empty_like(data2)
+        packed_cols = np.empty_like(cols2)
+        packed_data[dest] = data2
+        packed_cols[dest] = cols2
+        cols_local, gather_cols, region_gather = _relabel(
+            packed_cols, region_nnz, nregions, ncol
+        )
 
     # --- seq_input: per-slot RHS row position for self-referential A×A --------
     if nrow == ncol:

@@ -96,9 +96,11 @@ def dominant_sections_device(
     """
     nrow, ncol = shape
     nsect = (ncol + section_size - 1) // section_size
+    from spmm_tpu.ops.segments import boundary_segments
+
     nnz_pad = indices.shape[0]
     pos = jnp.arange(nnz_pad, dtype=jnp.int32)
-    rows = jnp.clip(jnp.searchsorted(indptr, pos, side="right").astype(jnp.int32) - 1, 0, nrow - 1)
+    rows = boundary_segments(indptr, nnz_pad)
     sect = jnp.asarray(indices, jnp.int32) // section_size
     valid = pos < nnz
 

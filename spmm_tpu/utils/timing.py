@@ -29,9 +29,21 @@ class Timing:
 
 
 def _ready(x):
+    """Force completion of the computation behind ``x``.
+
+    On the axon-tunneled TPU in this container, ``block_until_ready`` returns
+    before the device finishes (remote async handles), so fetching one element
+    to the host is the only reliable fence — a D2H read cannot complete until
+    the producing computation has.
+    """
     import jax
+    import numpy as np
 
     jax.block_until_ready(x)
+    for leaf in jax.tree.leaves(x):
+        if hasattr(leaf, "addressable_shards") or hasattr(leaf, "devices"):
+            flat = leaf.reshape(-1) if hasattr(leaf, "reshape") and leaf.ndim != 1 else leaf
+            np.asarray(flat[:1])
     return x
 
 
@@ -55,6 +67,63 @@ def measure(fn: Callable, *args, name: str = "fn", warmup: int = 1, iters: int =
         median_ms=samples[len(samples) // 2],
         min_ms=samples[0],
         iters=iters,
+    )
+
+
+def measure_device_loop(
+    step: Callable,
+    init,
+    consts: tuple = (),
+    *,
+    name: str = "fn",
+    iters: int = 16,
+    repeats: int = 3,
+) -> Timing:
+    """Accurate device timing through a high-latency host tunnel.
+
+    ``step(carry, *consts) -> carry`` must chain a data dependence (e.g. fold
+    a full reduction of the output back into the next input) so XLA executes
+    the iterations sequentially and cannot dead-code-eliminate them.  We jit
+    ``fori_loop(0, n, step)`` for n=1 and n=iters and report
+    (t_iters - t_1) / (iters - 1), which cancels dispatch + fence overhead
+    (~50 ms on the axon tunnel, measured).
+
+    Pass every large device array via ``consts`` (jit arguments), NOT closure
+    capture — captured arrays are embedded as constants in the program and
+    blow up the remote-compile request (HTTP 413 on axon).
+    """
+    import jax
+
+    def loop(n):
+        @jax.jit
+        def run(c, *ks):
+            return jax.lax.fori_loop(0, n, lambda i, cc: step(cc, *ks), c)
+
+        return run
+
+    run1_, runN_ = loop(1), loop(iters)
+    run1 = lambda c: run1_(c, *consts)
+    runN = lambda c: runN_(c, *consts)
+    t0 = time.perf_counter()
+    _ready(run1(init))
+    _ready(runN(init))
+    compile_ms = (time.perf_counter() - t0) * 1e3
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _ready(run1(init))
+        t1 = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        _ready(runN(init))
+        tN = (time.perf_counter() - t0) * 1e3
+        samples.append(max((tN - t1) / (iters - 1), 0.0))
+    samples.sort()
+    return Timing(
+        name=name,
+        compile_ms=compile_ms,
+        median_ms=samples[len(samples) // 2],
+        min_ms=samples[0],
+        iters=iters * repeats,
     )
 
 

@@ -1,0 +1,82 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spmm_tpu.formats.bsr import csr_to_bsr
+from spmm_tpu.formats.ell import ell_pack
+from spmm_tpu.formats.synthetic import banded_random, random_csr, webgraph_like
+from spmm_tpu.ops.ell_spmm import ell_spmm, ell_spmv
+from spmm_tpu.ops.pallas_bsr import bsr_spmm_pallas, bsr_spmm_xla
+
+
+@pytest.mark.parametrize("gen,args", [
+    (webgraph_like, (1500, 10000)),
+    (random_csr, (800, 800, 0.01)),
+    (banded_random, (600, 60, 0.3)),
+])
+def test_ell_spmm_matches_scipy(gen, args):
+    A = gen(*args, seed=5)
+    E = ell_pack(A, exact_max=8, step=8, max_len=32).device()  # force leftover CSR use
+    B = np.random.default_rng(0).standard_normal((A.shape[1], 16)).astype(np.float32)
+    Y = np.asarray(jax.jit(ell_spmm)(E, jnp.asarray(B)))
+    np.testing.assert_allclose(Y, A.to_scipy() @ B, rtol=1e-4, atol=1e-4)
+
+
+def test_ell_spmv_matches_scipy():
+    A = webgraph_like(2000, 12000, seed=6)
+    E = ell_pack(A).device()
+    x = np.random.default_rng(1).standard_normal(A.shape[1]).astype(np.float32)
+    y = np.asarray(jax.jit(ell_spmv)(E, jnp.asarray(x)))
+    np.testing.assert_allclose(y, A.to_scipy() @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_ell_pack_structure():
+    A = webgraph_like(1000, 8000, seed=7)
+    E = ell_pack(A, exact_max=4, step=4, max_len=16)
+    # permutations invert
+    np.testing.assert_array_equal(np.asarray(E.inv_perm)[np.asarray(E.perm)], np.arange(1000))
+    # all slab widths distinct and ascending row coverage
+    covered = E.n_empty + sum(d.shape[0] for d in E.data) + E.n_rest_rows
+    assert covered == 1000
+    # slab padding only at row tails (data zeros beyond the row length)
+    lens = np.diff(A.indptr)[np.asarray(E.perm)]
+    row = E.n_empty
+    for d in E.data:
+        R, L = d.shape
+        ln = lens[row : row + R]
+        for i in range(0, R, max(1, R // 5)):
+            assert np.all(np.asarray(d[i, int(ln[i]) :]) == 0)
+        assert ln.max() <= L
+        row += R
+
+
+def test_bsr_roundtrip_and_spmm():
+    A = banded_random(300, 64, 0.4, seed=8)
+    Ab = csr_to_bsr(A, (8, 128))
+    np.testing.assert_allclose(Ab.to_dense(), A.to_scipy().toarray(), atol=1e-6)
+    B = np.random.default_rng(2).standard_normal((300, 128)).astype(np.float32)
+    Yx = np.asarray(bsr_spmm_xla(Ab.device(), jnp.asarray(B)))
+    np.testing.assert_allclose(Yx, A.to_scipy() @ B, rtol=1e-4, atol=1e-4)
+    Yp = np.asarray(bsr_spmm_pallas(Ab.device(), jnp.asarray(B), interpret=True))
+    np.testing.assert_allclose(Yp, A.to_scipy() @ B, rtol=1e-4, atol=1e-4)
+
+
+def test_bsr_empty_block_rows():
+    # matrix with entirely empty row bands
+    A = random_csr(512, 512, 0.002, seed=9)
+    Ab = csr_to_bsr(A, (8, 128))
+    B = np.random.default_rng(3).standard_normal((512, 128)).astype(np.float32)
+    Yp = np.asarray(bsr_spmm_pallas(Ab.device(), jnp.asarray(B), interpret=True))
+    np.testing.assert_allclose(Yp, A.to_scipy() @ B, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_dispatcher_formats():
+    from spmm_tpu.ops import spmm
+
+    A = webgraph_like(600, 4000, seed=10)
+    B = jnp.asarray(np.random.default_rng(4).standard_normal((600, 16)).astype(np.float32))
+    ref = A.to_scipy() @ np.asarray(B)
+    E = ell_pack(A).device()
+    np.testing.assert_allclose(np.asarray(spmm(E, B)), ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(spmm(A.pad(8).device(), B)), ref, rtol=1e-4, atol=1e-4)
