@@ -1,0 +1,83 @@
+import os
+
+import numpy as np
+
+from spmm_tpu.config import Config
+from spmm_tpu.formats.containers import to_coo
+from spmm_tpu.formats.ell import ell_pack
+from spmm_tpu.formats.mtx import write_mtx
+from spmm_tpu.formats.synthetic import webgraph_like
+from spmm_tpu.preprocess import preprocess
+from spmm_tpu.utils.serialize import load, save
+
+
+def test_serialize_roundtrip_csr(tmp_path):
+    A = webgraph_like(500, 3000, seed=0)
+    p = tmp_path / "a.npz"
+    save(p, A)
+    B = load(p)
+    assert type(B).__name__ == "CSR"
+    assert B.shape == A.shape and B.nnz == A.nnz
+    np.testing.assert_array_equal(B.indices, A.indices)
+    np.testing.assert_allclose(B.data, A.data)
+
+
+def test_serialize_roundtrip_blocked(tmp_path):
+    A = webgraph_like(800, 5000, seed=1)
+    P = preprocess(A, Config(region_budget=200))
+    p = tmp_path / "p.npz"
+    save(p, P)
+    Q = load(p)
+    assert Q.nregions == P.nregions and Q.ngroups == P.ngroups
+    np.testing.assert_array_equal(Q.row_perm, P.row_perm)
+    np.testing.assert_array_equal(Q.cols_local, P.cols_local)
+    from spmm_tpu.preprocess import unpack_to_csr
+
+    back = unpack_to_csr(Q)
+    ref = A.to_scipy()
+    ref.sort_indices()
+    assert (back.to_scipy() != ref).nnz == 0
+
+
+def test_serialize_roundtrip_ell(tmp_path):
+    import jax.numpy as jnp
+
+    from spmm_tpu.ops.ell_spmm import ell_spmm
+
+    A = webgraph_like(600, 4000, seed=2)
+    E = ell_pack(A)
+    p = tmp_path / "e.npz"
+    save(p, E)
+    E2 = load(p)
+    B = np.random.default_rng(0).standard_normal((600, 8)).astype(np.float32)
+    Y = np.asarray(ell_spmm(E2.device(), jnp.asarray(B)))
+    np.testing.assert_allclose(Y, A.to_scipy() @ B, rtol=1e-4, atol=1e-4)
+
+
+def test_cli_reference_layout(tmp_path):
+    # reference driver contract: matrix.txt + mat/mtx/<name>/<name>.mtx -> result.txt
+    from spmm_tpu import cli
+
+    A = webgraph_like(300, 2000, seed=3)
+    d = tmp_path / "work"
+    (d / "mat" / "mtx" / "tiny").mkdir(parents=True)
+    write_mtx(d / "mat" / "mtx" / "tiny" / "tiny.mtx", to_coo(A), pattern=True)
+    (d / "matrix.txt").write_text("tiny\n")
+    rc = cli.main(["--dir", str(d), "--spgemm", "--check"])
+    assert rc == 0
+    res = (d / "result.txt").read_text().split()
+    assert res[0] == "tiny" and res[1].endswith("ms")
+
+
+def test_cli_single_matrix(tmp_path, capsys):
+    from spmm_tpu import cli
+
+    A = webgraph_like(200, 1200, seed=4)
+    p = tmp_path / "m.mtx"
+    write_mtx(p, to_coo(A), pattern=True)
+    rc = cli.main(["--matrix", str(p), "--spmm", "8", "--check", "--save-format"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    err_line = [ln for ln in out.splitlines() if "spmm_max_err" in ln]
+    assert err_line and float(err_line[0].split(":")[1]) <= 1e-4
+    assert os.path.exists(tmp_path / "m.blocked.npz")
