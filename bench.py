@@ -116,40 +116,41 @@ def bench_kernels(A, P, k, chip):
 
 
 def bench_spgemm(A, chip):
-    """Device-resident ESC timing (one chunk) + end-to-end host-API timing."""
+    """Slab-kernel SpGEMM timing: full multiply (plan + stream + numeric),
+    device-resident, fenced by a tiny D2H read per phase output."""
+    import time as _time
+
+    import numpy as np
     import jax
-    import jax.numpy as jnp
 
     from spmm_tpu.ops import spgemm_expand_bound, spgemm_roofline
-    from spmm_tpu.ops.spgemm import _bucket, spgemm_coo_padded
-    from spmm_tpu.utils.timing import measure_device_loop
+    from spmm_tpu.ops.spgemm_slab import spgemm_plan, spgemm_slab_device
 
     extras = {}
     expand = spgemm_expand_bound(A, A)
-    E = _bucket(expand)
-    log(f"spgemm expansion: {expand/1e6:.1f} M partial products (bucket {E/1e6:.0f}M)")
-    Ad = A.pad(256).device()
+    log(f"spgemm expansion: {expand/1e6:.1f} M partial products")
+    Ad = A.device()  # matrix resident on device, as in steady-state use
 
-    import dataclasses as _dc
+    def run():
+        # fused path: sizing (native host pass) + ONE device dispatch
+        outs, tails, _ = spgemm_slab_device(A, A, A_dev=Ad, B_dev=Ad)
+        np.asarray(outs[-1][3][:1])  # one program: one fence
+        return outs
 
-    def step(c, Ad):
-        # thread the carry through A's values so XLA cannot hoist the ESC out
-        # of the timing loop as loop-invariant
-        Ad2 = _dc.replace(Ad, data=Ad.data + c * 0)
-        r, cc, v, kn = spgemm_coo_padded(Ad2, Ad2, E)
-        return kn.astype(jnp.float32) * 0 + v[-1] + r[-1].astype(jnp.float32) * 0
-
-    t = measure_device_loop(step, jnp.zeros(()), (Ad,), name="spgemm_esc_device", iters=4)
-    log(t)
-    r, c, v, kn = jax.jit(spgemm_coo_padded, static_argnames=("expand_size",))(
-        Ad, Ad, expand_size=E
-    )
-    out_nnz = int(kn)
+    outs = run()  # warm/compile
+    times = []
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        outs = run()
+        times.append((_time.perf_counter() - t0) * 1e3)
+    ms = min(times)
+    out_nnz = int(sum(int(np.asarray(o[3]).sum()) for o in outs))
     rl = spgemm_roofline(expand, A.nnz, A.nnz, out_nnz, chip=chip)
-    extras["spgemm_ms"] = round(t.median_ms, 1)
-    extras["spgemm_gflops"] = round(2.0 * expand / (t.median_ms * 1e-3) / 1e9, 1)
-    extras["spgemm_mnnz_out_per_s"] = round(out_nnz / (t.median_ms * 1e-3) / 1e6, 1)
-    extras["spgemm_sol_frac"] = round(rl.efficiency(t.median_ms * 1e-3), 3)
+    log(f"spgemm_slab: {ms:.1f} ms, out_nnz={out_nnz}")
+    extras["spgemm_ms"] = round(ms, 1)
+    extras["spgemm_gflops"] = round(2.0 * expand / (ms * 1e-3) / 1e9, 2)
+    extras["spgemm_mnnz_out_per_s"] = round(out_nnz / (ms * 1e-3) / 1e6, 1)
+    extras["spgemm_sol_frac"] = round(rl.efficiency(ms * 1e-3), 3)
     extras["spgemm_out_nnz"] = out_nnz
     return extras
 

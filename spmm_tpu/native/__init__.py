@@ -48,6 +48,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.relabel_first_touch.argtypes = [I32, LL, PLL, LL, LL, I32, I32, I32, I32, PLL]
         lib.dominant_sections.restype = None
         lib.dominant_sections.argtypes = [PLL, I32, LL, LL, PLL]
+        U8 = ctypes.POINTER(ctypes.c_uint8)
+        lib.panel_sort.restype = LL
+        lib.panel_sort.argtypes = [PLL, LL, PLL, LL, LL, LL, PLL, U8, PLL, PLL]
+        lib.counting_argsort.restype = None
+        lib.counting_argsort.argtypes = [PLL, LL, LL, PLL]
+        lib.spgemm_sizing.restype = LL
+        lib.spgemm_sizing.argtypes = [PLL, I32, LL, PLL, LL, LL, PLL, LL, I32, PLL]
         lib.pack_blocked.restype = LL
         lib.pack_blocked.argtypes = [
             PLL, I32, ctypes.c_char_p, LL, LL, LL,
@@ -177,6 +184,63 @@ def pack_blocked(
         _i64p(counts),
     )
     return packed, cols_local, gather[:total].copy(), counts[:nregions]
+
+
+def panel_sort(lens: np.ndarray, panel_bounds: np.ndarray, group_width: int, max_len: int):
+    """Native per-panel counting sort by row length + v8 grouping.  Returns
+    (perm, is_grouped, group_row, group_len) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    panel_bounds = np.ascontiguousarray(panel_bounds, dtype=np.int64)
+    nrow = len(lens)
+    npanels = len(panel_bounds) - 1
+    perm = np.empty(nrow, dtype=np.int64)
+    grouped = np.empty(nrow, dtype=np.uint8)
+    cap = max(nrow // max(group_width, 1) + 1, 1)
+    group_row = np.empty(cap, dtype=np.int64)
+    group_len = np.empty(cap, dtype=np.int64)
+    ng = lib.panel_sort(
+        _i64p(lens), nrow, _i64p(panel_bounds), npanels,
+        group_width, max_len, _i64p(perm),
+        grouped.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i64p(group_row), _i64p(group_len),
+    )
+    return perm, grouped.astype(bool), group_row[:ng].copy(), group_len[:ng].copy()
+
+
+def spgemm_sizing(a_indptr, a_ind, b_indptr, seg_w: int, classes):
+    """Native one-pass SpGEMM slab sizing.  Returns
+    (npa, nsegB, cls_per_row) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    a_indptr = np.ascontiguousarray(a_indptr, dtype=np.int64)
+    a_ind = np.ascontiguousarray(a_ind, dtype=np.int32)
+    b_indptr = np.ascontiguousarray(b_indptr, dtype=np.int64)
+    classes = np.ascontiguousarray(classes, dtype=np.int64)
+    nrowA = len(a_indptr) - 1
+    nrowB = len(b_indptr) - 1
+    cls = np.empty(nrowA, dtype=np.int32)
+    nsegB = np.zeros(1, dtype=np.int64)
+    npa = lib.spgemm_sizing(
+        _i64p(a_indptr), _i32p(a_ind), nrowA, _i64p(b_indptr), nrowB,
+        seg_w, _i64p(classes), len(classes), _i32p(cls), _i64p(nsegB),
+    )
+    return int(npa), int(nsegB[0]), cls
+
+
+def counting_argsort(keys: np.ndarray, nkeys: int):
+    """Native stable counting argsort of int keys in [0, nkeys).  Returns
+    perm (perm[new_pos] = old_pos) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    perm = np.empty(len(keys), dtype=np.int64)
+    lib.counting_argsort(_i64p(keys), len(keys), nkeys, _i64p(perm))
+    return perm
 
 
 def dominant_sections(indptr: np.ndarray, cols: np.ndarray, section_size: int):

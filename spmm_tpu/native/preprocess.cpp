@@ -14,6 +14,7 @@
 //
 // Build: part of libspmm_native.so (see build.py).
 
+#include <algorithm>
 #include <cstdint>
 
 extern "C" {
@@ -187,6 +188,156 @@ long long pack_blocked(const long long* indptr_orig, const int* indices,
     total += next;
   }
   return total;
+}
+
+// Pass 3b — per-panel row sort by length + v8 grouping, one O(rows) pass.
+// (reference: panel_sort_nnz v8sort.h:152-232 — argsort per panel there;
+//  counting sort here since groupable lengths are bounded by max_len and
+//  longer "remain" rows only need a small per-panel comparison sort.)
+//
+//  lens          (nrow)       row lengths (pre-sort order)
+//  panel_bounds  (npanels+1)  ascending row boundaries covering [0, nrow]
+//  group_width   W (8)        rows per vector group
+//  max_len       groupable length cap (reference: 32)
+// Outputs:
+//  perm_out      (nrow)   perm[new_pos] = pre_sort row
+//  grouped_out   (nrow)   1 if the row at final position is in a v8 group
+//  group_row_out (<=nrow/W) first final-row index of each group
+//  group_len_out (same)   per-row length L of each group
+// Returns the number of groups.
+long long panel_sort(const long long* lens, long long nrow,
+                     const long long* panel_bounds, long long npanels,
+                     long long group_width, long long max_len,
+                     long long* perm_out, unsigned char* grouped_out,
+                     long long* group_row_out, long long* group_len_out) {
+  const long long W = group_width;
+  long long ngroups = 0;
+  // scratch: counting bins for lengths 0..max_len
+  long long* cnt = new long long[max_len + 1];
+  long long* base = new long long[max_len + 1];
+  long long* seen = new long long[max_len + 1];
+  long long remain_cap = 0;
+  long long* remain = nullptr;  // (len, pos) pairs for comparison sort
+
+  for (long long pi = 0; pi < npanels; ++pi) {
+    long long s = panel_bounds[pi], t = panel_bounds[pi + 1];
+    long long rows = t - s;
+    if (rows <= 0) continue;
+    for (long long l = 0; l <= max_len; ++l) cnt[l] = 0;
+    for (long long r = s; r < t; ++r) {
+      long long L = lens[r];
+      if (L > 0 && L <= max_len) ++cnt[L];
+    }
+    // grouped rows per length = count rounded down to a multiple of W;
+    // they occupy the front of the panel ordered by (len, position)
+    long long g_total = 0;
+    for (long long l = 1; l <= max_len; ++l) {
+      long long g = cnt[l] - cnt[l] % W;
+      base[l] = g_total;
+      seen[l] = 0;
+      g_total += g;
+    }
+    // place grouped rows (counting sort, stable by construction)
+    long long nrem = 0;
+    if (rows > remain_cap) {
+      delete[] remain;
+      remain_cap = rows;
+      remain = new long long[2 * remain_cap];
+    }
+    for (long long r = s; r < t; ++r) {
+      long long L = lens[r];
+      bool g = false;
+      if (L > 0 && L <= max_len) {
+        long long gcap = cnt[L] - cnt[L] % W;
+        if (seen[L] < gcap) {
+          long long pos = s + base[L] + seen[L];
+          perm_out[pos] = r;
+          grouped_out[pos] = 1;
+          ++seen[L];
+          g = true;
+        }
+      }
+      if (!g) {
+        remain[2 * nrem] = L;
+        remain[2 * nrem + 1] = r;
+        ++nrem;
+      }
+    }
+    // remain rows: comparison sort by (len, position) — strict order, so
+    // the position tiebreak makes it deterministic/stable
+    {
+      struct Pair { long long l, p; };
+      Pair* pr = reinterpret_cast<Pair*>(remain);
+      // insertion-friendly sizes are common; std::sort handles the rest
+      std::sort(pr, pr + nrem, [](const Pair& a, const Pair& b) {
+        return a.l != b.l ? a.l < b.l : a.p < b.p;
+      });
+      for (long long i = 0; i < nrem; ++i) {
+        long long pos = s + g_total + i;
+        perm_out[pos] = pr[i].p;
+        grouped_out[pos] = 0;
+      }
+    }
+    // group table: every W consecutive grouped rows share a length
+    for (long long k = 0; k + W <= g_total; k += W) {
+      group_row_out[ngroups] = s + k;
+      group_len_out[ngroups] = lens[perm_out[s + k]];
+      ++ngroups;
+    }
+  }
+  delete[] cnt;
+  delete[] base;
+  delete[] seen;
+  delete[] remain;
+  return ngroups;
+}
+
+// SpGEMM slab-kernel sizing (ops/spgemm_slab.py): one O(nnz_A + nrow_B) pass
+// computing, for C = A @ B with B rows split into width-W segments:
+//   nsegB   = total B segments,
+//   npa     = total (A-nonzero x B-segment) pairs,
+//   cls_out = per-A-row expansion class (index into `classes`, ascending;
+//             nclasses if above the last class, nclasses+1 if zero)
+// Returns npa; *nsegB_out receives nsegB.  exp_pad per row = W * (pa count).
+long long spgemm_sizing(const long long* a_indptr, const int* a_ind,
+                        long long nrowA, const long long* b_indptr,
+                        long long nrowB, long long W,
+                        const long long* classes, long long nclasses,
+                        int* cls_out, long long* nsegB_out) {
+  long long nsegB = 0;
+  for (long long j = 0; j < nrowB; ++j)
+    nsegB += (b_indptr[j + 1] - b_indptr[j] + W - 1) / W;
+  *nsegB_out = nsegB;
+  long long npa = 0;
+  for (long long r = 0; r < nrowA; ++r) {
+    long long pa = 0;
+    for (long long p = a_indptr[r]; p < a_indptr[r + 1]; ++p) {
+      long long j = a_ind[p];
+      pa += (b_indptr[j + 1] - b_indptr[j] + W - 1) / W;
+    }
+    npa += pa;
+    long long exp_pad = W * pa;
+    if (exp_pad == 0) {
+      cls_out[r] = (int)(nclasses + 1);
+    } else {
+      long long c = 0;
+      while (c < nclasses && exp_pad > classes[c]) ++c;
+      cls_out[r] = (int)c;
+    }
+  }
+  return npa;
+}
+
+// Stable counting argsort of small-integer keys in [0, nkeys):
+// perm_out[new_pos] = old_pos.  O(n + nkeys); replaces numpy's O(n log n)
+// stable argsort for bucket permutations (bitmap reorder: nkeys = sections+1).
+void counting_argsort(const long long* keys, long long n, long long nkeys,
+                      long long* perm_out) {
+  long long* cnt = new long long[nkeys + 1]();
+  for (long long i = 0; i < n; ++i) ++cnt[keys[i] + 1];
+  for (long long k = 1; k <= nkeys; ++k) cnt[k] += cnt[k - 1];
+  for (long long i = 0; i < n; ++i) perm_out[cnt[keys[i]]++] = i;
+  delete[] cnt;
 }
 
 // Per-row dominant section: the section (col >> shift-free: col / sect) with

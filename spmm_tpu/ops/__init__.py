@@ -1,5 +1,11 @@
 from spmm_tpu.ops.spmm import spmm, spmv, spmm_xla, spmv_xla
-from spmm_tpu.ops.spgemm import spgemm, spgemm_coo_padded, spgemm_expand_bound
+from spmm_tpu.ops.spgemm import spgemm_sorted, spgemm_coo_padded, spgemm_expand_bound
+from spmm_tpu.ops.spgemm_slab import spgemm_slab, spgemm_slab_device, spgemm_plan
+
+# the slab-sorted ESC kernel is the production SpGEMM (batched minor-axis
+# sorts; ~50x the global-sort path on TPU); spgemm_sorted remains as the
+# fallback/oracle and handles the heavy-tail rows
+spgemm = spgemm_slab
 from spmm_tpu.ops.ell_spmm import ell_spmm, ell_spmv
 from spmm_tpu.ops.pallas_bsr import bsr_spmm_pallas, bsr_spmm_xla
 from spmm_tpu.ops.blocked import blocked_spmm_xla
@@ -12,6 +18,10 @@ __all__ = [
     "spmm_xla",
     "spmv_xla",
     "spgemm",
+    "spgemm_sorted",
+    "spgemm_slab",
+    "spgemm_slab_device",
+    "spgemm_plan",
     "spgemm_coo_padded",
     "spgemm_expand_bound",
     "ell_spmm",

@@ -21,9 +21,10 @@ class ChipSpec:
     vmem_bytes: int
 
 
-# TPU v5e (v5 lite): 16 GB HBM @ ~819 GB/s, ~197 TFLOP/s bf16 (~98 fp32)
+# TPU v5e (v5 lite): 16 GB HBM @ ~819 GB/s, ~197 TFLOP/s bf16 (~98 fp32),
+# ~16 MB VMEM per core
 TPU_V5E = ChipSpec("tpu-v5e", hbm_gbps=819.0, flops_f32=98.3e12, flops_bf16=196.6e12,
-                   vmem_bytes=128 * 1024 * 1024)
+                   vmem_bytes=16 * 1024 * 1024)
 # generic host CPU fallback for CI (numbers only used for ratios)
 CPU_GENERIC = ChipSpec("cpu", hbm_gbps=20.0, flops_f32=1e11, flops_bf16=1e11,
                        vmem_bytes=32 * 1024 * 1024)
@@ -84,19 +85,20 @@ def spmv_roofline(nnz: int, m: int, n: int, **kw) -> Roofline:
 
 def spgemm_roofline(expand: int, nnz_a: int, nnz_b: int, nnz_out: int, *,
                     bytes_val=4, bytes_idx=4, chip: ChipSpec | None = None) -> Roofline:
-    """ESC SpGEMM: ``expand`` partial products (= FLOPs/2).  Sort-dominated:
-    bytes ≈ several passes over the expanded stream (lax.sort is a multi-pass
-    bitonic/merge network; model 2·log2 passes of read+write at 12 B/slot)."""
-    import math
+    """ESC SpGEMM: ``expand`` partial products (= FLOPs/2).
 
+    Problem-intrinsic HBM bound (algorithm-independent): read A and B once,
+    materialize + re-read the expanded (col, val) stream once each way (any
+    ESC formulation moves at least the 8 B/slot expansion through HBM twice —
+    slab rows exceed VMEM in aggregate), write C once.  Deliberately does NOT
+    model the sort algorithm's own passes — the kernel must earn them."""
     chip = chip or detect_chip()
     flops = 2.0 * expand
-    slot_bytes = 2 * bytes_idx + bytes_val
-    sort_passes = max(1.0, math.log2(max(expand, 2)))
+    slot_bytes = bytes_idx + bytes_val
     bytes_ = (
         nnz_a * (bytes_val + bytes_idx)
         + nnz_b * (bytes_val + bytes_idx)
-        + expand * slot_bytes * 2 * sort_passes
+        + expand * slot_bytes * 2
         + nnz_out * (bytes_val + 2 * bytes_idx)
     )
     return Roofline(flops=flops, hbm_bytes=bytes_, chip=chip)

@@ -1,0 +1,560 @@
+"""Slab-sorted ESC SpGEMM — the TPU-shaped sparse×sparse kernel.
+
+The classic ESC (expand/sort/compress) SpGEMM needs a global sort of all E
+partial products by (row, col) plus per-element gathers.  Both are the wrong
+shape for TPU.  Measured on v5e (8-32M elements):
+
+  =========================================  ============
+  global 1-D ``lax.sort`` (1key+2pay)         ~300 M/s
+  scatter (``segment_sum`` / ``.at[]``)       ~110 M/s
+  scalar gather (``x[idx]``)                  ~135 M/s
+  ``vmap(dynamic_slice)`` window gather       ~140 M/s
+  **aligned 2-D row gather** ``take(t2d, i)``  ~1 G elem/s (W=4) .. 8 G (W=128)
+  batched minor-axis sort (width 32-512)      ~5-12 G elem/s
+  cumsum / cummax / elementwise               >> all of the above
+  =========================================  ============
+
+So the O(E) path here uses **only aligned 2-D row gathers, batched minor-axis
+sorts, and cumsum/cummax** — no scatters, no global sorts, no scalar/window
+gathers:
+
+1. **plan** (per A,B pair): pad every B row to a multiple of W and store it as
+   an aligned (nsegB, W) table; enumerate the kept (A-nonzero × B-segment)
+   pairs ("pa"s).  The partial-product stream in pa order is grouped by output
+   row *by construction* — ESC's global sort exists only to recover this
+   grouping, which the enumeration order gives for free.
+2. **stream**: two (npa, W) aligned row gathers materialize the padded partial
+   stream (cols from B.indices, vals = a_val * B.data); row-tail padding
+   carries col=INT_MAX / val=0.
+3. **slabs**: rows bucketed into power-of-two padded-expansion classes (the
+   ELL slab trick, formats/ell.py — the TPU recast of the reference's panel
+   length sort, v8sort.h:152-232); each class chunk extracts its (R, L) slab
+   with one (R, L/W)-indexed aligned row gather from the stream.
+4. **sort+merge**: one batched minor-axis sort orders every row's columns at
+   once; duplicates merge scatter-free — run sums are differences of
+   compacted inclusive prefix sums (compaction itself is another batched
+   sort).  Output: slab-compressed C (per-row sorted unique columns + counts).
+
+Static shapes throughout (XLA's rule), sized by O(nnz+nrow) host numpy — the
+reference's own trick of converting a dynamic working set into a static
+budget (transmat.h:339).  Rows whose padded expansion exceeds the largest
+class go through the global-sort fallback (ops/spgemm.py); on power-law
+graphs they are a tiny fraction.
+
+Reference contract: SpGEMM A×A on pattern matrices is the workload the
+reference's preprocessing exists to feed but never ships
+(SURVEY.md §3.3-3.4); ground truth is scipy ``A @ A``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spmm_tpu.formats.containers import COO, CSR, to_csr
+
+_INT_MAX = np.int32(np.iinfo(np.int32).max)
+
+#: power-of-two padded-expansion classes; rows above the last use the fallback
+DEFAULT_CLASSES = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+#: B-segment width: row-gather granule.  4 measures fastest per element on
+#: v5e and keeps ceil-padding modest on short power-law rows.
+DEFAULT_SEG_W = 4
+
+#: slab slot budget per numeric call (slots = R_pad * L).  Large on purpose:
+#: through the remote-device tunnel each dispatch costs ~50 ms + a fence
+#: round-trip, so fewer/bigger chunks win (a 16M-slot chunk is ~380 MB of
+#: working set — well within a 16 GB chip).
+DEFAULT_SLOT_BUDGET = 1 << 24
+
+#: classes with fewer rows than this fold into the next class up — a tiny
+#: chunk costs a full dispatch for negligible work
+FOLD_THRESHOLD = 4096
+
+
+def _bucket_pow2(x: int, floor: int = 8) -> int:
+    b = floor
+    while b < x:
+        b <<= 1
+    return b
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((max(x, 1) + m - 1) // m) * m
+
+
+def _shift_right(x):
+    return jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# plan
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SpgemmPlan:
+    """Device-resident expansion layout.  pa = (A-nonzero, B-segment) pair."""
+
+    b2_cols: jax.Array  #: (nsegB_pad, W) aligned padded B column table
+    b2_vals: jax.Array  #: (nsegB_pad, W) aligned padded B value table
+    pa_b2row: jax.Array  #: (npa_pad,) B2 row of each pa
+    pa_aval: jax.Array  #: (npa_pad,) A value of each pa
+    pa_row_base: jax.Array  #: (nrow,) first pa of each output row
+    npa_row: jax.Array  #: (nrow,) pa count per output row
+    rows_sorted: jax.Array  #: (nrow_pad,) row ids ordered by class
+    # host-side (static metadata)
+    classes: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    class_counts: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    seg_w: int = dataclasses.field(metadata=dict(static=True))
+    npa: int = dataclasses.field(metadata=dict(static=True))
+    nrow: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _plan_body(
+    a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_of_row,
+    *, W, npa_pad, nsegB_pad, nrow, nrow_pad, nnz
+):
+    from spmm_tpu.ops.segments import boundary_segments
+
+    lenB = b_indptr[1:] - b_indptr[:-1]
+    nrowB = lenB.shape[0]
+
+    # --- aligned padded B table (one-time per B): pad rows to W multiples ---
+    nsegB_row = (lenB + W - 1) // W
+    bseg_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(nsegB_row)])
+    srow = boundary_segments(bseg_off, nsegB_pad)  # B row of each segment
+    u = jax.lax.broadcasted_iota(jnp.int32, (nsegB_pad, W), 1)
+    off = (jnp.arange(nsegB_pad, dtype=jnp.int32) - bseg_off[srow])[:, None] * W + u
+    live = off < lenB[srow][:, None]
+    src = jnp.clip(b_indptr[srow][:, None] + off, 0, b_ind.shape[0] - 1)
+    b2_cols = jnp.where(live, b_ind[src], _INT_MAX)
+    b2_vals = jnp.where(live, b_dat[src], 0)
+
+    # --- pa enumeration (kept A-nonzero x B-segment) -------------------------
+    nnz_pad = a_ind.shape[0]
+    pos = jnp.arange(nnz_pad, dtype=jnp.int32)
+    jj = jnp.clip(a_ind, 0, nrowB - 1)
+    nseg_a = jnp.where((pos < nnz) & (lenB[jj] > 0), nsegB_row[jj], 0)
+    seg_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(nseg_a)])
+    a_of_pa = boundary_segments(seg_off, npa_pad)
+    k = jnp.arange(npa_pad, dtype=jnp.int32) - seg_off[a_of_pa]
+    pa_live = jnp.arange(npa_pad, dtype=jnp.int32) < seg_off[-1]
+    jpa = jnp.clip(a_ind[a_of_pa], 0, nrowB - 1)
+    pa_b2row = jnp.where(pa_live, bseg_off[jpa] + k, nsegB_pad - 1)
+    pa_aval = jnp.where(pa_live, a_dat[a_of_pa], 0)
+
+    pa_row_base = seg_off[a_indptr[:-1]]
+    npa_row = seg_off[a_indptr[1:]] - pa_row_base
+
+    rows = jnp.arange(nrow, dtype=jnp.int32)
+    _, rows_sorted = jax.lax.sort((cls_of_row, rows), num_keys=1, is_stable=True)
+    rows_sorted = jnp.concatenate([rows_sorted, jnp.zeros((nrow_pad - nrow,), jnp.int32)])
+    return b2_cols, b2_vals, pa_b2row, pa_aval, pa_row_base, npa_row, rows_sorted
+
+
+def _sizing(A: CSR, B: CSR, W: int, classes):
+    """O(nnz+nrow) sizing: (npa, nsegB, per-row class, counts).  Native C++
+    single pass when available; vectorized numpy fallback."""
+    Ah, Bh = A.host(), B.host()
+    res = None
+    try:
+        from spmm_tpu import native
+
+        res = native.spgemm_sizing(
+            np.asarray(Ah.indptr), np.asarray(Ah.indices[: A.nnz]),
+            np.asarray(Bh.indptr), W, np.asarray(classes, np.int64),
+        )
+    except Exception:
+        res = None
+    if res is not None:
+        npa, nsegB, cls = res
+    else:
+        b_iptr = np.asarray(Bh.indptr, dtype=np.int64)
+        lenB = b_iptr[1:] - b_iptr[:-1]
+        nsegB = int(((lenB + W - 1) // W).sum())
+        a_ind = np.asarray(Ah.indices, dtype=np.int64)[: A.nnz]
+        nseg_a = np.where(lenB[a_ind] > 0, (lenB[a_ind] + W - 1) // W, 0)
+        npa = int(nseg_a.sum())
+        segc = np.zeros(A.nnz + 1, dtype=np.int64)
+        np.cumsum(nseg_a, out=segc[1:])
+        indptr = np.asarray(Ah.indptr, dtype=np.int64)
+        exp_pad_row = W * (
+            segc[np.minimum(indptr[1:], A.nnz)] - segc[np.minimum(indptr[:-1], A.nnz)]
+        )
+        cls = np.zeros(A.nrow, dtype=np.int32)
+        for c in classes:
+            cls += (exp_pad_row > c).astype(np.int32)
+        cls[exp_pad_row == 0] = len(classes) + 1
+    if npa * W >= 2**31:
+        raise ValueError("padded expansion exceeds int32 range; chunk A first")
+    # fold small classes into the next one up: a tiny chunk costs a whole
+    # dispatch; the padding increase is bounded by count * L_next
+    counts = np.bincount(cls, minlength=len(classes) + 2)
+    for ci in range(len(classes) - 1):
+        if 0 < counts[ci] < FOLD_THRESHOLD:
+            cls[cls == ci] = ci + 1
+            counts[ci + 1] += counts[ci]
+            counts[ci] = 0
+    return npa, nsegB, cls, tuple(int(c) for c in counts[: len(classes) + 1])
+
+
+def spgemm_plan(
+    A: CSR,
+    B: CSR,
+    *,
+    classes: Sequence[int] = DEFAULT_CLASSES,
+    seg_w: int = DEFAULT_SEG_W,
+    slot_budget: int = DEFAULT_SLOT_BUDGET,
+    A_dev: CSR | None = None,
+    B_dev: CSR | None = None,
+) -> SpgemmPlan:
+    """Build the expansion layout.  Host side is O(nnz+nrow) (sizing + class
+    counts, native C++ when available); all O(E) work stays on device."""
+    W = seg_w
+    # padded expansions are multiples of W, so class bounds must be too
+    classes = tuple(sorted({_round_up(c, W) for c in classes}))
+    A_dev, B_dev = (A_dev or A), (B_dev or B)
+    npa, nsegB, cls, counts = _sizing(A, B, W, classes)
+
+    max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
+    nrow_pad = A.nrow + max_chunk
+    npa_pad = _round_up(npa, 1024)
+    nsegB_pad = _round_up(nsegB, 1024)
+    (b2_cols, b2_vals, pa_b2row, pa_aval, pa_row_base, npa_row, rows_sorted) = _plan_device(
+        jnp.asarray(A_dev.indptr, jnp.int32),
+        jnp.asarray(A_dev.indices, jnp.int32),
+        jnp.asarray(A_dev.data),
+        jnp.asarray(B_dev.indptr, jnp.int32),
+        jnp.asarray(B_dev.indices, jnp.int32),
+        jnp.asarray(B_dev.data),
+        jnp.asarray(cls),
+        W=W,
+        npa_pad=npa_pad,
+        nsegB_pad=nsegB_pad,
+        nrow=A.nrow,
+        nrow_pad=nrow_pad,
+        nnz=A.nnz,
+    )
+    return SpgemmPlan(
+        b2_cols=b2_cols,
+        b2_vals=b2_vals,
+        pa_b2row=pa_b2row,
+        pa_aval=pa_aval,
+        pa_row_base=pa_row_base,
+        npa_row=npa_row,
+        rows_sorted=rows_sorted,
+        classes=classes,
+        class_counts=counts,
+        seg_w=W,
+        npa=npa,
+        nrow=A.nrow,
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream materialization
+# ---------------------------------------------------------------------------
+
+
+def _stream_body(b2_cols, b2_vals, pa_b2row, pa_aval, *, accum_dtype=jnp.float32):
+    """Materialize the padded partial-product stream as (npa_pad, W) — two
+    aligned 2-D row gathers (row-grouped by pa construction order)."""
+    cols = jnp.take(b2_cols, pa_b2row, axis=0)
+    vals = jnp.take(b2_vals, pa_b2row, axis=0).astype(accum_dtype)
+    vals = vals * pa_aval[:, None].astype(accum_dtype)
+    # B2 pad lanes carry col=INT_MAX; zero their values explicitly so padding
+    # never contributes regardless of B2 values
+    vals = jnp.where(cols == _INT_MAX, 0, vals)
+    return cols, vals
+
+
+# ---------------------------------------------------------------------------
+# numeric per class chunk
+# ---------------------------------------------------------------------------
+
+
+def _chunk_body(
+    stream_cols,  # (npa_pad, W)
+    stream_vals,
+    rows_sorted,
+    pa_row_base,
+    npa_row,
+    start,  # scalar: offset into rows_sorted of this chunk
+    count,  # scalar: valid rows in this chunk
+    *,
+    L: int,
+    R_pad: int,
+    W: int,
+):
+    """One (R_pad, L) slab chunk: aligned row-gather of each row's padded
+    partials, batched sort by column, scatter-free duplicate merge.  Returns
+    (rows, cols_u, vals_u, nuniq)."""
+    nblk = L // W
+    ii = jnp.arange(R_pad, dtype=jnp.int32)
+    in_chunk = ii < count
+    r = jax.lax.dynamic_slice(rows_sorted, (start,), (R_pad,))
+    base = jnp.where(in_chunk, pa_row_base[r], 0)
+    nb = jnp.where(in_chunk, npa_row[r], 0)
+
+    bi = jax.lax.broadcasted_iota(jnp.int32, (R_pad, nblk), 1)
+    idx = jnp.clip(base[:, None] + bi, 0, stream_cols.shape[0] - 1)
+    bm = bi < nb[:, None]  # mask blocks that belong to other rows / padding
+    col = jnp.where(bm[:, :, None], jnp.take(stream_cols, idx, axis=0), _INT_MAX)
+    val = jnp.where(bm[:, :, None], jnp.take(stream_vals, idx, axis=0), 0)
+    col = col.reshape(R_pad, L)
+    val = val.reshape(R_pad, L)
+
+    # batched per-row sort by column (pads sort to the end)
+    col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
+
+    # merge adjacent duplicates: compact run-ENDS carrying the inclusive
+    # prefix sum; each run's sum = difference of consecutive compacted sums
+    p = jax.lax.broadcasted_iota(jnp.int32, (R_pad, L), 1)
+    firsts = (p == 0) | (col_s != _shift_right(col_s))
+    lasts = jnp.concatenate([firsts[:, 1:], jnp.ones((R_pad, 1), bool)], axis=1)
+    csum = jnp.cumsum(val_s, axis=1)
+    out_key = jnp.where(lasts & (col_s != _INT_MAX), p, _INT_MAX)
+    _, cols_u, csum_u = jax.lax.sort((out_key, col_s, csum), dimension=1, num_keys=1)
+    prev = jnp.concatenate([jnp.zeros((R_pad, 1), csum_u.dtype), csum_u[:, :-1]], axis=1)
+    vals_u = csum_u - prev
+    nuniq = jnp.sum(lasts & (col_s != _INT_MAX), axis=1).astype(jnp.int32)
+    return r, cols_u, vals_u, nuniq
+
+
+# jitted single-phase entry points (tests / incremental use)
+_plan_device = jax.jit(
+    _plan_body, static_argnames=("W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "nnz")
+)
+_stream = jax.jit(_stream_body, static_argnames=("accum_dtype",))
+_numeric_chunk = jax.jit(_chunk_body, static_argnames=("L", "R_pad", "W"))
+
+
+def _chunk_schedule(classes, counts, slot_budget):
+    """(L, R_pad, start, count) per numeric call from host-side class counts.
+    R_pad rounds to 64K-row granules (not pow2) to bound slab padding."""
+    sched = []
+    offset = 0
+    for ci, L in enumerate(classes):
+        n = int(counts[ci])
+        rows_per_chunk = max(slot_budget // L, 8)
+        for lo in range(0, n, rows_per_chunk):
+            cnt = min(rows_per_chunk, n - lo)
+            R_pad = min(_bucket_pow2(cnt), _round_up(cnt, 1 << 16))
+            sched.append((L, R_pad, offset + lo, cnt))
+        offset += n
+    return sched, offset  # offset = start of tail rows in rows_sorted
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "nnz", "schedule", "accum_dtype"
+    ),
+)
+def _fused_exec(
+    a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_of_row,
+    *, W, npa_pad, nsegB_pad, nrow, nrow_pad, nnz, schedule, accum_dtype
+):
+    """plan + stream + every class chunk in ONE compiled program — a single
+    dispatch (the remote-device tunnel charges ~50 ms per dispatch plus a
+    fence round-trip, so one program beats ten)."""
+    (b2_cols, b2_vals, pa_b2row, pa_aval, pa_row_base, npa_row, rows_sorted) = _plan_body(
+        a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_of_row,
+        W=W, npa_pad=npa_pad, nsegB_pad=nsegB_pad, nrow=nrow, nrow_pad=nrow_pad, nnz=nnz,
+    )
+    stream_cols, stream_vals = _stream_body(
+        b2_cols, b2_vals, pa_b2row, pa_aval, accum_dtype=accum_dtype
+    )
+    outs = tuple(
+        _chunk_body(
+            stream_cols, stream_vals, rows_sorted, pa_row_base, npa_row,
+            jnp.int32(start), jnp.int32(cnt), L=L, R_pad=R_pad, W=W,
+        )
+        for (L, R_pad, start, cnt) in schedule
+    )
+    return rows_sorted, outs
+
+
+def spgemm_slab_device(
+    A: CSR,
+    B: CSR,
+    plan: SpgemmPlan | None = None,
+    *,
+    classes: Sequence[int] = DEFAULT_CLASSES,
+    seg_w: int = DEFAULT_SEG_W,
+    slot_budget: int = DEFAULT_SLOT_BUDGET,
+    accum_dtype=jnp.float32,
+    A_dev: CSR | None = None,
+    B_dev: CSR | None = None,
+):
+    """Device-resident SpGEMM: returns (chunk outputs, tail row ids, plan).
+    Chunk outputs are device arrays (rows, cols_u, vals_u, nuniq) per call —
+    a slab-compressed C.  Use :func:`spgemm_slab` for a host CSR.
+
+    Without a pre-built plan this runs the FUSED path: one compiled program
+    covering plan + stream + every class chunk (single dispatch).  With a
+    plan, the phases run as separate dispatches (incremental / test use)."""
+    if plan is not None:
+        stream_cols, stream_vals = _stream(
+            plan.b2_cols, plan.b2_vals, plan.pa_b2row, plan.pa_aval, accum_dtype=accum_dtype
+        )
+        sched, tail_start = _chunk_schedule(plan.classes, plan.class_counts, slot_budget)
+        outs = []
+        for L, R_pad, start, cnt in sched:
+            outs.append(
+                _numeric_chunk(
+                    stream_cols,
+                    stream_vals,
+                    plan.rows_sorted,
+                    plan.pa_row_base,
+                    plan.npa_row,
+                    jnp.int32(start),
+                    jnp.int32(cnt),
+                    L=L,
+                    R_pad=R_pad,
+                    W=plan.seg_w,
+                )
+            )
+        ntail = int(plan.class_counts[len(plan.classes)])
+        tail_rows = (
+            np.asarray(plan.rows_sorted[tail_start : tail_start + ntail])
+            if ntail
+            else np.zeros(0, np.int32)
+        )
+        return outs, tail_rows, plan
+
+    # ---- fused single-dispatch path ---------------------------------------
+    W = seg_w
+    classes = tuple(sorted({_round_up(c, W) for c in classes}))
+    A_dev, B_dev = (A_dev or A), (B_dev or B)
+    npa, nsegB, cls, counts = _sizing(A, B, W, classes)
+    sched, tail_start = _chunk_schedule(classes, counts, slot_budget)
+    max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
+    rows_sorted, outs = _fused_exec(
+        jnp.asarray(A_dev.indptr, jnp.int32),
+        jnp.asarray(A_dev.indices, jnp.int32),
+        jnp.asarray(A_dev.data),
+        jnp.asarray(B_dev.indptr, jnp.int32),
+        jnp.asarray(B_dev.indices, jnp.int32),
+        jnp.asarray(B_dev.data),
+        jnp.asarray(cls),
+        W=W,
+        npa_pad=_round_up(npa, 1024),
+        nsegB_pad=_round_up(nsegB, 1024),
+        nrow=A.nrow,
+        nrow_pad=A.nrow + max_chunk,
+        nnz=A.nnz,
+        schedule=tuple(sched),
+        accum_dtype=accum_dtype,
+    )
+    ntail = int(counts[len(classes)])
+    tail_rows = (
+        np.asarray(rows_sorted[tail_start : tail_start + ntail])
+        if ntail
+        else np.zeros(0, np.int32)
+    )
+    return list(outs), tail_rows, None
+
+
+def spgemm_slab(
+    A: CSR,
+    B: CSR,
+    *,
+    classes: Sequence[int] = DEFAULT_CLASSES,
+    seg_w: int = DEFAULT_SEG_W,
+    slot_budget: int = DEFAULT_SLOT_BUDGET,
+    accum_dtype=jnp.float32,
+    as_csr: bool = True,
+):
+    """C = A @ B via per-row-class batched slab sorts (exact: duplicate
+    columns merged, rows ascending, columns sorted within rows)."""
+    if A.nnz == 0 or B.nnz == 0:
+        out = COO(
+            row=np.zeros(0, np.int32),
+            col=np.zeros(0, np.int32),
+            data=np.zeros(0, np.float32),
+            shape=(A.nrow, B.ncol),
+            nnz=0,
+        )
+        return to_csr(out) if as_csr else out
+    outs, tail_rows, _ = spgemm_slab_device(
+        A, B, classes=classes, seg_w=seg_w, slot_budget=slot_budget, accum_dtype=accum_dtype
+    )
+
+    out_rows, out_cols, out_vals = [], [], []
+    for r, cols_u, vals_u, nuniq in outs:
+        nu = np.asarray(nuniq)
+        L = cols_u.shape[1]
+        mask = np.arange(L)[None, :] < nu[:, None]
+        out_rows.append(np.repeat(np.asarray(r, np.int64), nu))
+        out_cols.append(np.asarray(cols_u)[mask].astype(np.int64))
+        out_vals.append(np.asarray(vals_u)[mask])
+
+    if len(tail_rows):
+        sub = _take_rows(A.host(), np.asarray(tail_rows, np.int64))
+        from spmm_tpu.ops.spgemm import spgemm as spgemm_sorted
+
+        Ct = spgemm_sorted(sub, B, as_csr=False)
+        out_rows.append(
+            np.asarray(tail_rows, np.int64)[np.asarray(Ct.row[: Ct.nnz], dtype=np.int64)]
+        )
+        out_cols.append(np.asarray(Ct.col[: Ct.nnz], dtype=np.int64))
+        out_vals.append(np.asarray(Ct.data[: Ct.nnz]))
+
+    rows = np.concatenate(out_rows) if out_rows else np.zeros(0, np.int64)
+    cols = np.concatenate(out_cols) if out_cols else np.zeros(0, np.int64)
+    vals = np.concatenate(out_vals) if out_vals else np.zeros(0, np.float32)
+
+    # assemble CSR without a global sort: each row lives in exactly one chunk
+    # with its columns already sorted, so a stable sort by row alone yields
+    # the final CSR order
+    nrow = A.nrow
+    counts = np.bincount(rows, minlength=nrow) if len(rows) else np.zeros(nrow, np.int64)
+    out_indptr = np.zeros(nrow + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_indptr[1:])
+    nnz_out = int(out_indptr[-1])
+    c_ind = np.empty(nnz_out, dtype=np.int32)
+    c_dat = np.empty(nnz_out, dtype=vals.dtype if len(vals) else np.float32)
+    if nnz_out:
+        order = np.argsort(rows, kind="stable")
+        c_ind[:] = cols[order]
+        c_dat[:] = vals[order]
+    out = CSR(
+        data=c_dat,
+        indices=c_ind,
+        indptr=out_indptr.astype(np.int64),
+        shape=(A.nrow, B.ncol),
+        nnz=nnz_out,
+    )
+    if as_csr:
+        return out
+    from spmm_tpu.formats.containers import to_coo
+
+    return to_coo(out)
+
+
+def _take_rows(Ah: CSR, rows: np.ndarray) -> CSR:
+    """Sub-CSR holding only ``rows`` (same width, len(rows) height)."""
+    indptr = np.asarray(Ah.indptr, dtype=np.int64)
+    starts, lens = indptr[rows], indptr[rows + 1] - indptr[rows]
+    nnz = int(lens.sum())
+    new_iptr = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(lens, out=new_iptr[1:])
+    pos = np.arange(nnz, dtype=np.int64)
+    rof = np.repeat(np.arange(len(rows), dtype=np.int64), lens)
+    src = starts[rof] + (pos - new_iptr[rof])
+    return CSR(
+        data=np.asarray(Ah.data)[src],
+        indices=np.asarray(Ah.indices, np.int32)[src],
+        indptr=new_iptr,
+        shape=(len(rows), Ah.shape[1]),
+        nnz=nnz,
+    )

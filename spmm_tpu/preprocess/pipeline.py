@@ -95,9 +95,30 @@ def preprocess(A: CSR, config: Config | None = None) -> BlockedCSR:
 
     # --- pass 3a/3b: panelize + per-panel length sort + v8 grouping -----------
     panel_bounds = panelize(lens1, region_bounds, cfg.panel_rows, cfg.group_width)
-    ps = panel_sort(
-        lens1, panel_bounds, group_width=cfg.group_width, max_len=cfg.max_group_row_len
-    )
+    ps = None
+    try:
+        from spmm_tpu import native
+
+        res3 = native.panel_sort(
+            lens1, panel_bounds, cfg.group_width, cfg.max_group_row_len
+        )
+        if res3 is not None:
+            from spmm_tpu.preprocess.panels import PanelSortResult
+
+            perm3, grouped3, grow3, glen3 = res3
+            ps = PanelSortResult(
+                perm=perm3,
+                panel_of_row=None,  # unused downstream; numpy path fills it
+                group_row=grow3,
+                group_len=glen3,
+                is_grouped=grouped3,
+            )
+    except Exception:
+        ps = None
+    if ps is None:
+        ps = panel_sort(
+            lens1, panel_bounds, group_width=cfg.group_width, max_len=cfg.max_group_row_len
+        )
 
     # --- permutation algebra (reference wbsort.h:58-67,16-34) -----------------
     row_perm = np.asarray(perm1, dtype=np.int64)[ps.perm]  # final_pos -> original row

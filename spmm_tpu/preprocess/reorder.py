@@ -74,7 +74,16 @@ def bitmap_reorder(
     """Returns ``(A_permuted | None, perm)`` with ``perm[new_pos] = old_row``:
     rows stably bucketed by dominant section (bucket 0 = empty rows)."""
     dom = dominant_sections(A, section_size)
-    perm = np.argsort(dom + 1, kind="stable")
+    perm = None
+    try:
+        from spmm_tpu import native
+
+        nsect = int((A.shape[1] + section_size - 1) // section_size)
+        perm = native.counting_argsort(dom + 1, nsect + 1)
+    except Exception:
+        perm = None
+    if perm is None:
+        perm = np.argsort(dom + 1, kind="stable")
     out = permute_rows(A, perm) if materialize else None
     return out, perm
 

@@ -72,10 +72,15 @@ def test_spgemm_rectangular_real_values():
 
 
 def test_spgemm_chunked_matches_unchunked():
+    from spmm_tpu.ops import spgemm_sorted
+
     A = webgraph_like(300, 2500, seed=3)
-    big = spgemm(A, A)
-    small = spgemm(A, A, max_expand_per_chunk=512)
+    big = spgemm_sorted(A, A)
+    small = spgemm_sorted(A, A, max_expand_per_chunk=512)
     assert abs(big.to_scipy() - small.to_scipy()).max() < 1e-5
+    # slab kernel (the production path) agrees with the global-sort path
+    slab = spgemm(A, A)
+    assert abs(big.to_scipy() - slab.to_scipy()).max() < 1e-5
 
 
 def test_spgemm_expand_bound_exact():

@@ -1,0 +1,99 @@
+"""Slab-sorted ESC SpGEMM (ops/spgemm_slab.py) vs the scipy oracle.
+
+The reference implies SpGEMM A_pattern x A_pattern as ground truth
+(SURVEY.md §3.3-3.4); these tests extend that to general rectangular
+real-valued products, the global-sort fallback equivalence, and the
+degenerate shapes that exercise padding/tail paths.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from spmm_tpu.formats.containers import CSR
+from spmm_tpu.formats.synthetic import webgraph_like
+from spmm_tpu.ops.spgemm_slab import spgemm_plan, spgemm_slab
+
+
+def _oracle(A, B):
+    C = (A @ B).tocsr()
+    C.sum_duplicates()
+    C.sort_indices()
+    return C
+
+
+def _check(C, Cs):
+    assert np.array_equal(np.asarray(C.indptr, np.int64), Cs.indptr.astype(np.int64))
+    assert np.array_equal(np.asarray(C.indices[: C.nnz]), Cs.indices)
+    # the prefix-sum-difference merge loses ~1 ulp per run vs scipy's direct
+    # accumulation; tolerance reflects that
+    np.testing.assert_allclose(np.asarray(C.data[: C.nnz]), Cs.data, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_rectangular(seed):
+    rng = np.random.default_rng(seed)
+    m, n, k = (int(x) for x in rng.integers(5, 250, 3))
+    A = sp.random(m, n, density=0.05, random_state=seed, format="csr", dtype=np.float32)
+    B = sp.random(n, k, density=0.05, random_state=seed + 99, format="csr", dtype=np.float32)
+    C = spgemm_slab(CSR.from_scipy(A), CSR.from_scipy(B), classes=(4, 16, 64), slot_budget=1 << 14)
+    _check(C, _oracle(A, B))
+
+
+@pytest.mark.parametrize("seg_w", [1, 4, 8])
+def test_webgraph_axa_seg_widths(seg_w):
+    A = webgraph_like(2000, 12000, seed=3)
+    C = spgemm_slab(A, A, seg_w=seg_w)
+    _check(C, _oracle(A.to_scipy(), A.to_scipy()))
+
+
+def test_tail_fallback():
+    """A row whose expansion exceeds the largest class goes through the
+    global-sort path and must merge seamlessly."""
+    rng = np.random.default_rng(7)
+    n = 400
+    A = sp.random(n, n, density=0.02, random_state=7, format="lil", dtype=np.float32)
+    A[0, :] = rng.standard_normal(n)  # heavy row: expansion ~ nnz(B)
+    A = A.tocsr()
+    C = spgemm_slab(CSR.from_scipy(A), CSR.from_scipy(A), classes=(4, 8), slot_budget=1 << 12)
+    _check(C, _oracle(A, A))
+
+
+def test_empty_and_zero_rows():
+    A = sp.csr_matrix((5, 7), dtype=np.float32)
+    B = sp.random(7, 3, density=0.3, random_state=0, format="csr", dtype=np.float32)
+    C = spgemm_slab(CSR.from_scipy(A), CSR.from_scipy(B))
+    assert C.nnz == 0 and C.shape == (5, 3)
+    C2 = spgemm_slab(CSR.from_scipy(B), CSR.from_scipy(A.T.tocsr()))
+    assert C2.nnz == 0 and C2.shape == (7, 5)
+
+
+def test_duplicate_merge_values():
+    """Columns hit via several A nonzeros must sum, matching scipy exactly."""
+    A = sp.csr_matrix(np.array([[1.0, 2.0, 0.0], [0.0, 1.0, 1.0]], np.float32))
+    B = sp.csr_matrix(np.array([[1.0, 1.0], [1.0, 0.0], [0.5, 0.5]], np.float32))
+    C = spgemm_slab(CSR.from_scipy(A), CSR.from_scipy(B))
+    _check(C, _oracle(A, B))
+
+
+def test_plan_metadata():
+    A = webgraph_like(500, 3000, seed=4)
+    plan = spgemm_plan(A, A, seg_w=4)
+    assert plan.nrow == 500
+    assert sum(plan.class_counts) <= 500
+    # padded expansion covers the true expansion
+    lenB = np.diff(np.asarray(A.indptr))
+    exp = lenB[np.asarray(A.indices[: A.nnz])]
+    assert plan.npa * plan.seg_w >= exp.sum()
+
+
+def test_matches_global_sort_path():
+    from spmm_tpu.ops.spgemm import spgemm_sorted
+
+    A = webgraph_like(800, 4800, seed=5)
+    C1 = spgemm_slab(A, A)
+    C2 = spgemm_sorted(A, A)
+    assert np.array_equal(np.asarray(C1.indices[: C1.nnz]), np.asarray(C2.indices[: C2.nnz]))
+    np.testing.assert_allclose(
+        np.asarray(C1.data[: C1.nnz]), np.asarray(C2.data[: C2.nnz]), rtol=1e-5
+    )
