@@ -18,19 +18,18 @@ So the O(E) path here uses **only aligned 2-D row gathers, batched minor-axis
 sorts, and cumsum/cummax** — no scatters, no global sorts, no scalar/window
 gathers:
 
-1. **plan** (per A,B pair): pad every B row to a multiple of W and store it as
-   an aligned (nsegB, W) table; enumerate the kept (A-nonzero × B-segment)
-   pairs ("pa"s).  The partial-product stream in pa order is grouped by output
-   row *by construction* — ESC's global sort exists only to recover this
+1. **plan** (per A,B pair): pad every B row to a multiple of W into an
+   aligned (nsegB, W) table "B2" (built by an nnz(B)-element scatter, not a
+   per-slot gather); enumerate the kept (A-nonzero × B-segment) pairs
+   ("pa"s).  The partial-product stream in pa order is grouped by output row
+   *by construction* — ESC's global sort exists only to recover this
    grouping, which the enumeration order gives for free.
-2. **stream**: two (npa, W) aligned row gathers materialize the padded partial
-   stream (cols from B.indices, vals = a_val * B.data); row-tail padding
-   carries col=INT_MAX / val=0.
-3. **slabs**: rows bucketed into power-of-two padded-expansion classes (the
+2. **slabs**: rows bucketed into power-of-two padded-expansion classes (the
    ELL slab trick, formats/ell.py — the TPU recast of the reference's panel
-   length sort, v8sort.h:152-232); each class chunk extracts its (R, L) slab
-   with one (R, L/W)-indexed aligned row gather from the stream.
-4. **sort+merge**: one batched minor-axis sort orders every row's columns at
+   length sort, v8sort.h:152-232); each class chunk gathers its (R, L) slab
+   DIRECTLY from B2 (pa indirection + one aligned row gather per array —
+   gathers charge per ROW on v5e, so no intermediate stream layer).
+3. **sort+merge**: one batched minor-axis sort orders every row's columns at
    once; duplicates merge scatter-free — run sums are differences of
    compacted inclusive prefix sums (compaction itself is another batched
    sort).  Output: slab-compressed C (per-row sorted unique columns + counts).
@@ -61,11 +60,13 @@ from spmm_tpu.formats.containers import COO, CSR, to_csr
 _INT_MAX = np.int32(np.iinfo(np.int32).max)
 
 #: power-of-two padded-expansion classes; rows above the last use the fallback
-DEFAULT_CLASSES = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+DEFAULT_CLASSES = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
-#: B-segment width: row-gather granule.  4 measures fastest per element on
-#: v5e and keeps ceil-padding modest on short power-law rows.
-DEFAULT_SEG_W = 4
+#: B-segment width: row-gather granule.  Gather throughput on v5e is
+#: ~40-60 M ROWS/s regardless of width, so wider segments cost the same to
+#: fetch and amortize the per-row charge; 16 balances that against ceil-pad
+#: growth of the downstream (VPU-cheap) slab passes on short power-law rows.
+DEFAULT_SEG_W = 16
 
 #: slab slot budget per numeric call (slots = R_pad * L).  Large on purpose:
 #: through the remote-device tunnel each dispatch costs ~50 ms + a fence
@@ -128,15 +129,22 @@ def _plan_body(
     nrowB = lenB.shape[0]
 
     # --- aligned padded B table (one-time per B): pad rows to W multiples ---
+    # built by SCATTER (per-nonzero destination = position + pads inserted
+    # before it), not by per-slot gather: a (nsegB*W,)-element gather costs
+    # ~7 ns/element on v5e while the scatter moves only nnz(B) elements
     nsegB_row = (lenB + W - 1) // W
     bseg_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(nsegB_row)])
-    srow = boundary_segments(bseg_off, nsegB_pad)  # B row of each segment
-    u = jax.lax.broadcasted_iota(jnp.int32, (nsegB_pad, W), 1)
-    off = (jnp.arange(nsegB_pad, dtype=jnp.int32) - bseg_off[srow])[:, None] * W + u
-    live = off < lenB[srow][:, None]
-    src = jnp.clip(b_indptr[srow][:, None] + off, 0, b_ind.shape[0] - 1)
-    b2_cols = jnp.where(live, b_ind[src], _INT_MAX)
-    b2_vals = jnp.where(live, b_dat[src], 0)
+    nnzB_pad = b_ind.shape[0]
+    posb = jnp.arange(nnzB_pad, dtype=jnp.int32)
+    rowb = boundary_segments(b_indptr, nnzB_pad)  # B row of each nonzero
+    dest = posb + (bseg_off[rowb] * W - b_indptr[rowb])
+    dest = jnp.where(posb < b_indptr[-1], dest, nsegB_pad * W)  # drop padding
+    flat_cols = jnp.full((nsegB_pad * W,), _INT_MAX, jnp.int32).at[dest].set(
+        b_ind, mode="drop"
+    )
+    flat_vals = jnp.zeros((nsegB_pad * W,), b_dat.dtype).at[dest].set(b_dat, mode="drop")
+    b2_cols = flat_cols.reshape(nsegB_pad, W)
+    b2_vals = flat_vals.reshape(nsegB_pad, W)
 
     # --- pa enumeration (kept A-nonzero x B-segment) -------------------------
     nnz_pad = a_ind.shape[0]
@@ -265,8 +273,10 @@ def spgemm_plan(
 
 
 def _stream_body(b2_cols, b2_vals, pa_b2row, pa_aval, *, accum_dtype=jnp.float32):
-    """Materialize the padded partial-product stream as (npa_pad, W) — two
-    aligned 2-D row gathers (row-grouped by pa construction order)."""
+    """Padded partial-product stream as (npa_pad, W) — two aligned 2-D row
+    gathers.  Kept for tests/inspection; the fused path gathers slabs
+    directly from B2 (saves a full gather layer — gathers cost ~25 ns/row on
+    v5e regardless of width, so one layer ~= half the kernel)."""
     cols = jnp.take(b2_cols, pa_b2row, axis=0)
     vals = jnp.take(b2_vals, pa_b2row, axis=0).astype(accum_dtype)
     vals = vals * pa_aval[:, None].astype(accum_dtype)
@@ -282,8 +292,10 @@ def _stream_body(b2_cols, b2_vals, pa_b2row, pa_aval, *, accum_dtype=jnp.float32
 
 
 def _chunk_body(
-    stream_cols,  # (npa_pad, W)
-    stream_vals,
+    b2_cols,  # (nsegB_pad, W)
+    b2_vals,
+    pa_b2row,  # (npa_pad,)
+    pa_aval,
     rows_sorted,
     pa_row_base,
     npa_row,
@@ -293,10 +305,12 @@ def _chunk_body(
     L: int,
     R_pad: int,
     W: int,
+    accum_dtype=jnp.float32,
 ):
-    """One (R_pad, L) slab chunk: aligned row-gather of each row's padded
-    partials, batched sort by column, scatter-free duplicate merge.  Returns
-    (rows, cols_u, vals_u, nuniq)."""
+    """One (R_pad, L) slab chunk: gather each row's padded partials straight
+    from the B2 table (one indirection via the pa arrays), batched sort by
+    column, scatter-free duplicate merge.  Returns (rows, cols_u, vals_u,
+    nuniq)."""
     nblk = L // W
     ii = jnp.arange(R_pad, dtype=jnp.int32)
     in_chunk = ii < count
@@ -305,10 +319,16 @@ def _chunk_body(
     nb = jnp.where(in_chunk, npa_row[r], 0)
 
     bi = jax.lax.broadcasted_iota(jnp.int32, (R_pad, nblk), 1)
-    idx = jnp.clip(base[:, None] + bi, 0, stream_cols.shape[0] - 1)
+    pa = jnp.clip(base[:, None] + bi, 0, pa_b2row.shape[0] - 1)
     bm = bi < nb[:, None]  # mask blocks that belong to other rows / padding
-    col = jnp.where(bm[:, :, None], jnp.take(stream_cols, idx, axis=0), _INT_MAX)
-    val = jnp.where(bm[:, :, None], jnp.take(stream_vals, idx, axis=0), 0)
+    b2r = jnp.take(pa_b2row, pa.reshape(-1), axis=0)
+    aval = jnp.take(pa_aval, pa.reshape(-1), axis=0)
+    col = jnp.take(b2_cols, b2r, axis=0)  # (R_pad*nblk, W) aligned row gather
+    val = jnp.take(b2_vals, b2r, axis=0).astype(accum_dtype)
+    val = val * aval[:, None].astype(accum_dtype)
+    val = jnp.where(col == _INT_MAX, 0, val)  # B2 row-tail padding
+    col = jnp.where(bm.reshape(-1)[:, None], col, _INT_MAX)
+    val = jnp.where(bm.reshape(-1)[:, None], val, 0)
     col = col.reshape(R_pad, L)
     val = val.reshape(R_pad, L)
 
@@ -334,7 +354,7 @@ _plan_device = jax.jit(
     _plan_body, static_argnames=("W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "nnz")
 )
 _stream = jax.jit(_stream_body, static_argnames=("accum_dtype",))
-_numeric_chunk = jax.jit(_chunk_body, static_argnames=("L", "R_pad", "W"))
+_numeric_chunk = jax.jit(_chunk_body, static_argnames=("L", "R_pad", "W", "accum_dtype"))
 
 
 def _chunk_schedule(classes, counts, slot_budget):
@@ -370,13 +390,11 @@ def _fused_exec(
         a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_of_row,
         W=W, npa_pad=npa_pad, nsegB_pad=nsegB_pad, nrow=nrow, nrow_pad=nrow_pad, nnz=nnz,
     )
-    stream_cols, stream_vals = _stream_body(
-        b2_cols, b2_vals, pa_b2row, pa_aval, accum_dtype=accum_dtype
-    )
     outs = tuple(
         _chunk_body(
-            stream_cols, stream_vals, rows_sorted, pa_row_base, npa_row,
+            b2_cols, b2_vals, pa_b2row, pa_aval, rows_sorted, pa_row_base, npa_row,
             jnp.int32(start), jnp.int32(cnt), L=L, R_pad=R_pad, W=W,
+            accum_dtype=accum_dtype,
         )
         for (L, R_pad, start, cnt) in schedule
     )
@@ -403,16 +421,15 @@ def spgemm_slab_device(
     covering plan + stream + every class chunk (single dispatch).  With a
     plan, the phases run as separate dispatches (incremental / test use)."""
     if plan is not None:
-        stream_cols, stream_vals = _stream(
-            plan.b2_cols, plan.b2_vals, plan.pa_b2row, plan.pa_aval, accum_dtype=accum_dtype
-        )
         sched, tail_start = _chunk_schedule(plan.classes, plan.class_counts, slot_budget)
         outs = []
         for L, R_pad, start, cnt in sched:
             outs.append(
                 _numeric_chunk(
-                    stream_cols,
-                    stream_vals,
+                    plan.b2_cols,
+                    plan.b2_vals,
+                    plan.pa_b2row,
+                    plan.pa_aval,
                     plan.rows_sorted,
                     plan.pa_row_base,
                     plan.npa_row,
@@ -421,6 +438,7 @@ def spgemm_slab_device(
                     L=L,
                     R_pad=R_pad,
                     W=plan.seg_w,
+                    accum_dtype=accum_dtype,
                 )
             )
         ntail = int(plan.class_counts[len(plan.classes)])
