@@ -102,6 +102,13 @@ def bench_kernels(A, P, k, chip):
     )
     record("spmv_ell", t, fl=2.0 * A.nnz, sol=rlv)
 
+    # tall-skinny k=32 (BASELINE config 3 benches k=32 and k=128)
+    B32 = B0[:, :32]
+    t = measure_device_loop(
+        lambda c, E: norm(ell_spmm(E, c)), B32, (E,), name="spmm_ell_k32", iters=8
+    )
+    record("spmm_ell_k32", t, fl=2.0 * A.nnz * 32, sol=spmm_roofline(A.nnz, m, n, 32, chip=chip))
+
     if P is not None:
         Pd = P.device()
         t = measure_device_loop(
@@ -112,6 +119,31 @@ def bench_kernels(A, P, k, chip):
             iters=8,
         )
         record("spmm_blocked_k128", t)
+
+    # BSR MXU kernel (BASELINE config 4) on a banded block matrix of similar
+    # size — web graphs have no block structure, so BSR gets its natural input
+    try:
+        from spmm_tpu.formats.bsr import csr_to_bsr
+        from spmm_tpu.formats.synthetic import banded_random
+        from spmm_tpu.ops.pallas_bsr import bsr_spmm_pallas
+
+        nb = 65536
+        Ab = banded_random(nb, 512, 0.25, seed=3)
+        Bs = csr_to_bsr(Ab, (8, 128)).device()
+        Bd = jnp.asarray(
+            np.random.default_rng(2).standard_normal((((nb + 127) // 128) * 128, 128)).astype(np.float32)
+        )
+        t = measure_device_loop(
+            lambda c, Bs: norm(bsr_spmm_pallas(Bs, c)), Bd, (Bs,), name="bsr_spmm_k128", iters=8
+        )
+        fl = 2.0 * Bs.nblocks * 8 * 128 * 128
+        extras["bsr_spmm_k128_ms"] = round(t.median_ms, 3)
+        extras["bsr_spmm_k128_gflops"] = round(fl / (t.median_ms * 1e-3) / 1e9, 1)
+        extras["bsr_nblocks"] = int(Bs.nblocks)
+        log(t)
+    except Exception as e:
+        log("bsr bench failed:", repr(e))
+        extras["bsr_error"] = repr(e)[:200]
     return extras
 
 
@@ -155,11 +187,56 @@ def bench_spgemm(A, chip):
     return extras
 
 
+# the reference's evaluation suite (README.md:12-18) as synthetic analogs
+# (SuiteSparse is unreachable without egress; shapes/nnz match the originals)
+SUITE = {
+    "web-Stanford": (281_903, 2_312_497),
+    "web-Google": (916_428, 5_105_039),
+    "sx-askubuntu": (159_316, 964_437),
+}
+
+
+def bench_suite(cfg):
+    """BASELINE.json configs 1-2: preprocessing + SpGEMM A x A across the
+    reference's matrix suite (web-Google's own numbers come from the main
+    sections; here the other two)."""
+    import numpy as np
+
+    from spmm_tpu.formats.synthetic import webgraph_like
+    from spmm_tpu.ops.spgemm_slab import spgemm_slab_device
+
+    extras = {}
+    for name, (n, nnz) in SUITE.items():
+        if name == "web-Google":
+            continue
+        A = webgraph_like(n, nnz, seed=1)
+        pre_ms, _ = bench_preprocess(A, cfg, iters=3)
+        extras[f"{name}_preprocess_ms"] = round(pre_ms, 1)
+        Ad = A.device()
+        import time as _t
+
+        def run():
+            outs, _, _ = spgemm_slab_device(A, A, A_dev=Ad, B_dev=Ad)
+            np.asarray(outs[-1][3][:1])
+            return outs
+
+        run()
+        ts = []
+        for _ in range(2):
+            t0 = _t.perf_counter()
+            run()
+            ts.append((_t.perf_counter() - t0) * 1e3)
+        extras[f"{name}_spgemm_ms"] = round(min(ts), 1)
+        log(f"suite {name}: preprocess {pre_ms:.1f} ms, spgemm {min(ts):.1f} ms")
+    return extras
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small matrix, fast run")
     ap.add_argument("--no-kernels", action="store_true")
     ap.add_argument("--no-spgemm", action="store_true")
+    ap.add_argument("--no-suite", action="store_true")
     ap.add_argument("--measure-reference", action="store_true",
                     help="also run the reference binary on the same matrix")
     args = ap.parse_args()
@@ -222,6 +299,12 @@ def main():
         except Exception as e:
             log("spgemm bench failed:", repr(e))
             extras["spgemm_error"] = repr(e)[:200]
+    if not args.no_suite and not args.quick:
+        try:
+            extras.update(bench_suite(cfg))
+        except Exception as e:
+            log("suite bench failed:", repr(e))
+            extras["suite_error"] = repr(e)[:200]
 
     result = {
         "metric": "preprocess_ms_webgoogle_synthetic",
