@@ -6,6 +6,7 @@ from spmm_tpu.parallel.spmm_dist import (
     spmv_dist,
     spgemm_dist,
 )
+from spmm_tpu.parallel.spgemm_dist import spgemm_dist_spmd
 
 __all__ = [
     "make_mesh",
@@ -15,4 +16,5 @@ __all__ = [
     "spmm_dist_ring",
     "spmv_dist",
     "spgemm_dist",
+    "spgemm_dist_spmd",
 ]

@@ -1,0 +1,262 @@
+"""SPMD distributed SpGEMM — row-partitioned A, replicated B, shard_map.
+
+BASELINE config 5: multi-host row-partitioned SpGEMM.  The left matrix is
+row-block sharded over the mesh's "rows" axis (the reference's region split
+is the shard unit, SURVEY.md §2.4/§2.12); B's CSR is replicated (SpGEMM needs
+random access to all of B's rows — the ring/halo refinement streams only the
+rows each shard references, see parallel/spmm_dist.py for the dense-RHS ring).
+
+Every shard runs the same slab-ESC program (ops/spgemm_slab.py) under
+``shard_map``, which requires uniform static shapes across shards:
+
+- pa/segment paddings are the max over shards;
+- the chunk schedule is built from per-class MAX row counts; each shard gets
+  its own runtime (start, count) scalars per chunk (empty chunks just mask);
+- per-shard nnz enters as a traced scalar (the kernel only compares
+  against it).
+
+On a real pod slice the "rows" axis maps to ICI-connected chips; on CI it is
+the 8-device virtual CPU mesh (SURVEY.md §4.3).  No collectives are needed in
+the compute itself (B replicated, outputs row-disjoint) — scaling efficiency
+is bounded by shard balance, which the preprocessing reorder + region split
+directly controls.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spmm_tpu.formats.containers import CSR
+from spmm_tpu.parallel.partition import ShardedCSR
+from spmm_tpu.ops.spgemm_slab import (
+    DEFAULT_CLASSES,
+    DEFAULT_SEG_W,
+    DEFAULT_SLOT_BUDGET,
+    _bucket_pow2,
+    _chunk_body,
+    _plan_body,
+    _round_up,
+)
+
+
+def _per_shard_sizing(S: ShardedCSR, B: CSR, W: int, classes):
+    """Host-side sizing per shard (native one-pass when available)."""
+    b_iptr = np.asarray(B.host().indptr, dtype=np.int64)
+    lenB = b_iptr[1:] - b_iptr[:-1]
+    cls_all, counts_all, npa_max, nnz_s = [], [], 0, []
+    ind = np.asarray(S.indices)
+    iptr = np.asarray(S.indptr, dtype=np.int64)
+    for s in range(S.n_shards):
+        nnz = int(iptr[s, -1])
+        nnz_s.append(nnz)
+        res = None
+        try:
+            from spmm_tpu import native
+
+            res = native.spgemm_sizing(
+                iptr[s], ind[s, :nnz], b_iptr, W, np.asarray(classes, np.int64)
+            )
+        except Exception:
+            res = None
+        if res is not None:
+            npa, _, cls = res
+        else:
+            a_ind = ind[s, :nnz].astype(np.int64)
+            nseg = np.where(lenB[a_ind] > 0, (lenB[a_ind] + W - 1) // W, 0)
+            npa = int(nseg.sum())
+            segc = np.zeros(nnz + 1, dtype=np.int64)
+            np.cumsum(nseg, out=segc[1:])
+            exp_pad = W * (segc[iptr[s, 1:]] - segc[iptr[s, :-1]])
+            cls = np.zeros(S.rows_per_shard, dtype=np.int32)
+            for c in classes:
+                cls += (exp_pad > c).astype(np.int32)
+            cls[exp_pad == 0] = len(classes) + 1
+        npa_max = max(npa_max, npa)
+        counts_all.append(np.bincount(cls, minlength=len(classes) + 2)[: len(classes) + 1])
+        cls_all.append(cls)
+    return (
+        np.stack(cls_all),
+        np.stack(counts_all).astype(np.int64),
+        npa_max,
+        np.asarray(nnz_s, np.int32),
+    )
+
+
+def _uniform_schedule(classes, counts, slot_budget):
+    """Chunk schedule covering the max per-class count over shards, plus
+    per-shard runtime (start, count) tables."""
+    nsh = counts.shape[0]
+    max_counts = counts.max(axis=0)
+    offsets = np.concatenate(
+        [np.zeros((nsh, 1), np.int64), np.cumsum(counts, axis=1)], axis=1
+    )
+    sched, starts, cnts = [], [], []
+    for ci, L in enumerate(classes):
+        n = int(max_counts[ci])
+        rows_per_chunk = max(slot_budget // L, 8)
+        for lo in range(0, n, rows_per_chunk):
+            cap = min(rows_per_chunk, n - lo)
+            R_pad = min(_bucket_pow2(cap), _round_up(cap, 1 << 16))
+            sched.append((L, R_pad))
+            starts.append(offsets[:, ci] + lo)
+            cnts.append(np.clip(counts[:, ci] - lo, 0, rows_per_chunk))
+    starts = np.stack(starts, axis=1).astype(np.int32) if sched else np.zeros((nsh, 0), np.int32)
+    cnts = np.stack(cnts, axis=1).astype(np.int32) if sched else np.zeros((nsh, 0), np.int32)
+    return sched, starts, cnts, offsets[:, len(classes)].astype(np.int64)
+
+
+def spgemm_dist_spmd(
+    S: ShardedCSR,
+    B: CSR,
+    mesh: Mesh,
+    *,
+    axis: str = "rows",
+    classes: Sequence[int] = DEFAULT_CLASSES,
+    seg_w: int = DEFAULT_SEG_W,
+    slot_budget: int = DEFAULT_SLOT_BUDGET,
+    accum_dtype=jnp.float32,
+    as_csr: bool = True,
+):
+    """C = A @ B with A row-sharded over ``mesh[axis]``.  One SPMD program;
+    all shards execute the identical slab-ESC kernel on their row block.
+
+    Rows whose padded expansion exceeds the largest class are not supported
+    here (they would need the host fallback per shard); preprocess A or raise
+    the class ceiling if ``ValueError`` is raised.
+    """
+    W = seg_w
+    classes = tuple(sorted({_round_up(c, W) for c in classes}))
+    nsh = S.n_shards
+    cls, counts, npa_max, nnz_s = _per_shard_sizing(S, B, W, classes)
+    sched, starts, cnts, _ = _uniform_schedule(counts=counts[:, : len(classes) + 1],
+                                               classes=classes, slot_budget=slot_budget)
+    tail_per_shard = counts[:, len(classes)]
+
+    Bh = B.host()
+    b_iptr = np.asarray(Bh.indptr, dtype=np.int64)
+    lenB = b_iptr[1:] - b_iptr[:-1]
+    nsegB = int(((lenB + W - 1) // W).sum())
+    max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
+    rows_pad = S.rows_per_shard
+    kw = dict(
+        W=W,
+        npa_pad=_round_up(npa_max, 1024),
+        nsegB_pad=_round_up(nsegB, 1024),
+        nrow=rows_pad,
+        nrow_pad=rows_pad + max_chunk,
+    )
+    schedule = tuple(sched)
+
+    spec_sh = P(axis)  # leading shard axis
+    spec_rep = P()  # replicated
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_sh, spec_sh, spec_sh, spec_sh, spec_sh, spec_sh,
+                  spec_rep, spec_rep, spec_rep),
+        out_specs=(spec_sh, tuple((spec_sh,) * 4 for _ in schedule)),
+        check_vma=False,
+    )
+    def run(indptr, ind, dat, cls_s, nnz_sc, sc_tab, b_indptr, b_ind, b_dat):
+        indptr, ind, dat = indptr[0], ind[0], dat[0]
+        cls_s, nnz_sc, sc_tab = cls_s[0], nnz_sc[0], sc_tab[0]
+        (b2c, b2v, pab, paa, prb, npr, rows_sorted) = _plan_body(
+            indptr, ind, dat, b_indptr, b_ind, b_dat, cls_s, nnz=nnz_sc[0], **kw
+        )
+        outs = []
+        for i, (L, R_pad) in enumerate(schedule):
+            outs.append(
+                _chunk_body(
+                    b2c, b2v, pab, paa, rows_sorted, prb, npr,
+                    sc_tab[0, i], sc_tab[1, i], L=L, R_pad=R_pad, W=W,
+                    accum_dtype=accum_dtype,
+                )
+            )
+        # re-add the leading shard axis for out_specs
+        outs = tuple(tuple(x[None] for x in o) for o in outs)
+        return rows_sorted[None], outs
+
+    sharding = NamedSharding(mesh, P(axis))
+    dev = lambda a: jax.device_put(np.asarray(a), sharding)
+    sc_tab = np.stack([starts, cnts], axis=1)  # (nsh, 2, nchunks)
+    rows_sorted, outs = run(
+        dev(np.asarray(S.indptr, np.int32)),
+        dev(np.asarray(S.indices, np.int32)),
+        dev(np.asarray(S.data)),
+        dev(cls),
+        dev(nnz_s[:, None]),
+        dev(sc_tab),
+        jnp.asarray(Bh.indptr, jnp.int32),
+        jnp.asarray(Bh.indices, jnp.int32),
+        jnp.asarray(Bh.data),
+    )
+    if not as_csr:
+        return rows_sorted, outs
+
+    # ---- host assembly into a global CSR -----------------------------------
+    row_starts = np.asarray(S.row_starts, np.int64)
+    rows_l, cols_l, vals_l = [], [], []
+    for r, cols_u, vals_u, nuniq in outs:
+        r = np.asarray(r)  # (nsh, R_pad)
+        nu = np.asarray(nuniq)
+        cu = np.asarray(cols_u)
+        vu = np.asarray(vals_u)
+        L = cu.shape[-1]
+        for s in range(nsh):
+            mask = np.arange(L)[None, :] < nu[s][:, None]
+            rows_l.append(np.repeat(r[s].astype(np.int64), nu[s]) + row_starts[s])
+            cols_l.append(cu[s][mask].astype(np.int64))
+            vals_l.append(vu[s][mask])
+    if tail_per_shard.sum():
+        from spmm_tpu.ops.spgemm_slab import _take_rows
+        from spmm_tpu.ops.spgemm import spgemm as spgemm_sorted
+
+        rs = np.asarray(rows_sorted)
+        base = counts[:, : len(classes)].sum(axis=1)
+        iptr = np.asarray(S.indptr, dtype=np.int64)
+        for s in range(nsh):
+            nt = int(tail_per_shard[s])
+            if not nt:
+                continue
+            trows = rs[s, int(base[s]) : int(base[s]) + nt].astype(np.int64)
+            sub_full = CSR(
+                data=np.asarray(S.data[s]),
+                indices=np.asarray(S.indices[s], np.int32),
+                indptr=iptr[s],
+                shape=(S.rows_per_shard, S.shape[1]),
+                nnz=int(iptr[s, -1]),
+            )
+            Ct = spgemm_sorted(_take_rows(sub_full, trows), B, as_csr=False)
+            rows_l.append(trows[np.asarray(Ct.row[: Ct.nnz], np.int64)] + row_starts[s])
+            cols_l.append(np.asarray(Ct.col[: Ct.nnz], np.int64))
+            vals_l.append(np.asarray(Ct.data[: Ct.nnz]))
+
+    rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
+    cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
+    vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.float32)
+    nrow = S.shape[0]
+    cnt = np.bincount(rows, minlength=nrow) if len(rows) else np.zeros(nrow, np.int64)
+    out_indptr = np.zeros(nrow + 1, dtype=np.int64)
+    np.cumsum(cnt, out=out_indptr[1:])
+    nnz_out = int(out_indptr[-1])
+    c_ind = np.empty(nnz_out, dtype=np.int32)
+    c_dat = np.empty(nnz_out, dtype=vals.dtype if len(vals) else np.float32)
+    if nnz_out:
+        order = np.argsort(rows, kind="stable")
+        c_ind[:] = cols[order]
+        c_dat[:] = vals[order]
+    return CSR(
+        data=c_dat,
+        indices=c_ind,
+        indptr=out_indptr,
+        shape=(nrow, B.ncol),
+        nnz=nnz_out,
+    )

@@ -96,3 +96,53 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (4096, 128)
     ge.dryrun_multichip(8)
+
+
+def test_spgemm_dist_spmd_matches_scipy():
+    """SPMD row-partitioned SpGEMM (BASELINE config 5 machinery) on the
+    8-device CPU mesh vs the scipy oracle."""
+    import numpy as np
+
+    from spmm_tpu.formats.synthetic import webgraph_like
+    from spmm_tpu.parallel import make_mesh, partition_rows
+    from spmm_tpu.parallel.spgemm_dist import spgemm_dist_spmd
+
+    A = webgraph_like(3000, 21000, seed=11)
+    mesh = make_mesh()
+    S = partition_rows(A, mesh.shape["rows"])
+    C = spgemm_dist_spmd(S, A, mesh)
+    Sp = A.to_scipy()
+    ref = (Sp @ Sp).tocsr()
+    ref.sum_duplicates()
+    ref.sort_indices()
+    assert C.nnz == ref.nnz
+    np.testing.assert_array_equal(np.asarray(C.indptr), ref.indptr.astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(C.indices[: C.nnz]), ref.indices)
+    np.testing.assert_allclose(np.asarray(C.data[: C.nnz]), ref.data, rtol=1e-5, atol=2e-5)
+
+
+def test_spgemm_dist_spmd_with_tail_rows():
+    """A heavy row (expansion above the class ceiling) routes through the
+    per-shard host fallback and merges into the global CSR."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from spmm_tpu.formats.containers import CSR
+    from spmm_tpu.parallel import make_mesh, partition_rows
+    from spmm_tpu.parallel.spgemm_dist import spgemm_dist_spmd
+
+    rng = np.random.default_rng(3)
+    n = 600
+    A = sp.random(n, n, density=0.01, random_state=3, format="lil", dtype=np.float32)
+    A[5, :] = rng.standard_normal(n)
+    A = A.tocsr()
+    Ac = CSR.from_scipy(A)
+    mesh = make_mesh()
+    S = partition_rows(Ac, mesh.shape["rows"])
+    C = spgemm_dist_spmd(S, Ac, mesh, classes=(4, 8, 16))
+    ref = (A @ A).tocsr()
+    ref.sum_duplicates()
+    ref.sort_indices()
+    assert C.nnz == ref.nnz
+    np.testing.assert_array_equal(np.asarray(C.indices[: C.nnz]), ref.indices)
+    np.testing.assert_allclose(np.asarray(C.data[: C.nnz]), ref.data, rtol=1e-4, atol=1e-4)
