@@ -6,7 +6,7 @@ from spmm_tpu.parallel.spmm_dist import (
     spmv_dist,
     spgemm_dist,
 )
-from spmm_tpu.parallel.spgemm_dist import spgemm_dist_spmd
+from spmm_tpu.parallel.spgemm_spmd import spgemm_dist_spmd
 
 __all__ = [
     "make_mesh",

@@ -105,7 +105,7 @@ def test_spgemm_dist_spmd_matches_scipy():
 
     from spmm_tpu.formats.synthetic import webgraph_like
     from spmm_tpu.parallel import make_mesh, partition_rows
-    from spmm_tpu.parallel.spgemm_dist import spgemm_dist_spmd
+    from spmm_tpu.parallel.spgemm_spmd import spgemm_dist_spmd
 
     A = webgraph_like(3000, 21000, seed=11)
     mesh = make_mesh()
@@ -129,7 +129,7 @@ def test_spgemm_dist_spmd_with_tail_rows():
 
     from spmm_tpu.formats.containers import CSR
     from spmm_tpu.parallel import make_mesh, partition_rows
-    from spmm_tpu.parallel.spgemm_dist import spgemm_dist_spmd
+    from spmm_tpu.parallel.spgemm_spmd import spgemm_dist_spmd
 
     rng = np.random.default_rng(3)
     n = 600
