@@ -132,10 +132,12 @@ class CSR:
         )
 
     @staticmethod
-    def from_scipy(m) -> "CSR":
+    def from_scipy(m, dtype=None) -> "CSR":
+        """Value dtype is preserved by default (fp64 parity mode needs it);
+        pass ``dtype=np.float32`` to force the TPU performance dtype."""
         m = m.tocsr()
         return CSR(
-            data=np.asarray(m.data, dtype=np.float32),
+            data=np.asarray(m.data, dtype=dtype if dtype is not None else m.data.dtype),
             indices=np.asarray(m.indices, dtype=np.int32),
             indptr=np.asarray(m.indptr, dtype=np.int32),
             shape=(int(m.shape[0]), int(m.shape[1])),

@@ -170,5 +170,5 @@ def write_mtx(path, m: COO, *, pattern: bool = False, comment: str = "") -> None
             np.savetxt(buf, np.stack([row, col], 1), fmt="%d %d")
         else:
             dat = np.asarray(h.data[: m.nnz], dtype=np.float64)
-            np.savetxt(buf, np.stack([row, col, dat], 1), fmt="%d %d %.9g")
+            np.savetxt(buf, np.stack([row, col, dat], 1), fmt="%d %d %.17g")
         f.write(buf.getvalue())

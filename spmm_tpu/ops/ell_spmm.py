@@ -20,6 +20,14 @@ from spmm_tpu.formats.ell import ELL
 def ell_spmm(E: ELL, B: jax.Array, *, accum_dtype=jnp.float32, permute_back: bool = True):
     """Y[m, k] = A @ B for A in ELL form."""
     k = B.shape[-1]
+    if k < 128:
+        # gathers charge per ROW on TPU and narrow outputs pick lane-padded
+        # layouts (measured: k=32 runs 2.4x SLOWER than k=128 on the same
+        # matrix) — widen to the 128-lane tile and slice the result
+        Bp = jnp.concatenate([B, jnp.zeros((B.shape[0], 128 - k), B.dtype)], axis=1)
+        return ell_spmm(
+            E, Bp, accum_dtype=accum_dtype, permute_back=permute_back
+        )[:, :k]
     parts = [jnp.zeros((E.n_empty, k), accum_dtype)]
     for slab_d, slab_c in zip(E.data, E.cols):
         R, L = slab_d.shape
@@ -33,10 +41,13 @@ def ell_spmm(E: ELL, B: jax.Array, *, accum_dtype=jnp.float32, permute_back: boo
                 ).astype(accum_dtype)
         else:
             gathered = jnp.take(B, slab_c.reshape(-1), axis=0).reshape(R, L, k)
+            # TPU einsum defaults to bf16 MXU passes (~1e-3 relative error on
+            # long rows); the kernel is gather-bound, so full f32 is free
             y = jnp.einsum(
                 "rl,rlk->rk",
                 slab_d.astype(accum_dtype),
                 gathered.astype(accum_dtype),
+                precision=jax.lax.Precision.HIGHEST,
             )
         parts.append(y)
     if E.n_rest_rows:

@@ -90,8 +90,10 @@ def bsr_spmm_xla(A: BSR, B: jax.Array) -> jax.Array:
         B = jnp.concatenate([B, jnp.zeros((n_pad - B.shape[0], k), B.dtype)], axis=0)
     Bt = B.reshape(n_pad // bn, bn, k)
     btiles = jnp.take(Bt, jnp.asarray(A.block_cols), axis=0)  # (nblocks, bn, k)
+    acc = jnp.result_type(jnp.asarray(A.data).dtype, jnp.float32)
     prods = jnp.einsum(
-        "bij,bjk->bik", jnp.asarray(A.data), btiles, preferred_element_type=jnp.float32
+        "bij,bjk->bik", jnp.asarray(A.data), btiles, preferred_element_type=acc,
+        precision=jax.lax.Precision.HIGHEST,
     )
     y = jax.ops.segment_sum(
         prods, jnp.asarray(A.block_rows), num_segments=A.nbrows, indices_are_sorted=True

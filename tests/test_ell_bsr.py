@@ -80,3 +80,26 @@ def test_spmm_dispatcher_formats():
     E = ell_pack(A).device()
     np.testing.assert_allclose(np.asarray(spmm(E, B)), ref, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(spmm(A.pad(8).device(), B)), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ell_spmm_long_rows_and_narrow_k():
+    """Rows beyond the exact-length classes (einsum slab path) and k < 128
+    (the lane-padding workaround) — full-precision parity vs an f64 oracle.
+    Regression: TPU einsum defaults to bf16 without precision=HIGHEST."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from spmm_tpu.formats.ell import ell_pack
+    from spmm_tpu.formats.synthetic import webgraph_like
+    from spmm_tpu.ops.ell_spmm import ell_spmm
+
+    A = webgraph_like(4000, 26000, seed=7)
+    lens = np.diff(np.asarray(A.indptr))
+    assert lens.max() > 64, "fixture must exercise the einsum slab path"
+    E = ell_pack(A).device()
+    S = A.to_scipy().astype(np.float64)
+    for k in (8, 32, 128):
+        B = np.random.default_rng(k).standard_normal((4000, k)).astype(np.float32)
+        Y = np.asarray(ell_spmm(E, jnp.asarray(B)))
+        ref = S @ B.astype(np.float64)
+        np.testing.assert_allclose(Y, ref, rtol=2e-4, atol=2e-4)
