@@ -11,6 +11,15 @@ from spmm_tpu.ops.pallas_bsr import bsr_spmm_pallas, bsr_spmm_xla
 from spmm_tpu.ops.blocked import blocked_spmm_xla
 from spmm_tpu.ops.roofline import spmm_roofline, spmv_roofline, spgemm_roofline, ChipSpec
 from spmm_tpu.ops.segments import boundary_segments
+from spmm_tpu.ops.transform import (
+    transpose,
+    add,
+    diagonal,
+    row_sums,
+    col_sums,
+    scale_rows,
+    scale_cols,
+)
 
 __all__ = [
     "spmm",
@@ -34,4 +43,11 @@ __all__ = [
     "spgemm_roofline",
     "ChipSpec",
     "boundary_segments",
+    "transpose",
+    "add",
+    "diagonal",
+    "row_sums",
+    "col_sums",
+    "scale_rows",
+    "scale_cols",
 ]
