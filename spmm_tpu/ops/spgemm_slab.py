@@ -131,13 +131,20 @@ def _plan_body(
     # --- aligned padded B table (one-time per B): pad rows to W multiples ---
     # built by SCATTER (per-nonzero destination = position + pads inserted
     # before it), not by per-slot gather: a (nsegB*W,)-element gather costs
-    # ~7 ns/element on v5e while the scatter moves only nnz(B) elements
+    # ~7 ns/element on v5e while the scatter moves only nnz(B) elements.
+    # The per-position pad offset is a per-row step function: materialized as
+    # the cumsum of TELESCOPING deltas scattered at row starts (collisions at
+    # empty rows sum correctly), avoiding any per-nonzero row gathers.
     nsegB_row = (lenB + W - 1) // W
     bseg_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(nsegB_row)])
     nnzB_pad = b_ind.shape[0]
     posb = jnp.arange(nnzB_pad, dtype=jnp.int32)
-    rowb = boundary_segments(b_indptr, nnzB_pad)  # B row of each nonzero
-    dest = posb + (bseg_off[rowb] * W - b_indptr[rowb])
+    c_row = bseg_off[:-1] * W - b_indptr[:-1]  # (nrowB,) pad offset per row
+    c_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), c_row[:-1]])
+    dd = jnp.zeros((nnzB_pad + 1,), jnp.int32).at[b_indptr[:-1]].add(
+        c_row - c_prev, mode="drop"
+    )
+    dest = posb + jnp.cumsum(dd)[:nnzB_pad]
     dest = jnp.where(posb < b_indptr[-1], dest, nsegB_pad * W)  # drop padding
     flat_cols = jnp.full((nsegB_pad * W,), _INT_MAX, jnp.int32).at[dest].set(
         b_ind, mode="drop"
@@ -147,17 +154,40 @@ def _plan_body(
     b2_vals = flat_vals.reshape(nsegB_pad, W)
 
     # --- pa enumeration (kept A-nonzero x B-segment) -------------------------
+    # pa_b2row is a ramp (+1 per pa) with per-a rebasing to bseg_off[j]:
+    # again a telescoping-delta cumsum (one nnz-sized scatter), and pa_aval
+    # is a per-a step function of the A values — same trick on the value
+    # BITS (int32 delta sums are exact mod 2^32, so the reconstruction is
+    # bit-exact; float deltas would drift).  No npa-scale gathers anywhere.
     nnz_pad = a_ind.shape[0]
     pos = jnp.arange(nnz_pad, dtype=jnp.int32)
     jj = jnp.clip(a_ind, 0, nrowB - 1)
-    nseg_a = jnp.where((pos < nnz) & (lenB[jj] > 0), nsegB_row[jj], 0)
+    live_a = (pos < nnz) & (lenB[jj] > 0)
+    nseg_a = jnp.where(live_a, nsegB_row[jj], 0)
     seg_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(nseg_a)])
-    a_of_pa = boundary_segments(seg_off, npa_pad)
-    k = jnp.arange(npa_pad, dtype=jnp.int32) - seg_off[a_of_pa]
-    pa_live = jnp.arange(npa_pad, dtype=jnp.int32) < seg_off[-1]
-    jpa = jnp.clip(a_ind[a_of_pa], 0, nrowB - 1)
-    pa_b2row = jnp.where(pa_live, bseg_off[jpa] + k, nsegB_pad - 1)
-    pa_aval = jnp.where(pa_live, a_dat[a_of_pa], 0)
+    pa_idx = jnp.arange(npa_pad, dtype=jnp.int32)
+    pa_live = pa_idx < seg_off[-1]
+
+    c_a = jnp.where(live_a, bseg_off[jj] - seg_off[:-1], 0)
+    bits = jax.lax.bitcast_convert_type(a_dat, jnp.int32)
+    if bits.ndim == 1:  # fp32: one int32 channel; fp64: two
+        bits = bits[:, None]
+    nv = bits.shape[1]
+    v_a = jnp.where(live_a[:, None], bits, 0)
+
+    def step_fn(chan):  # 1-D scatters: XLA handles them ~5x faster than a
+        prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), chan[:-1]])  # wide payload
+        d = jnp.zeros((npa_pad + 1,), jnp.int32).at[seg_off[:-1]].add(
+            chan - prev, mode="drop"
+        )
+        return jnp.cumsum(d)[:npa_pad]
+
+    pa_b2row = jnp.where(pa_live, step_fn(c_a) + pa_idx, nsegB_pad - 1)
+    vsteps = [step_fn(v_a[:, i]) for i in range(nv)]
+    vrec = vsteps[0] if nv == 1 else jnp.stack(vsteps, axis=1)
+    pa_aval = jnp.where(
+        pa_live, jax.lax.bitcast_convert_type(vrec, a_dat.dtype), 0
+    )
 
     pa_row_base = seg_off[a_indptr[:-1]]
     npa_row = seg_off[a_indptr[1:]] - pa_row_base
@@ -359,7 +389,8 @@ _numeric_chunk = jax.jit(_chunk_body, static_argnames=("L", "R_pad", "W", "accum
 
 def _chunk_schedule(classes, counts, slot_budget):
     """(L, R_pad, start, count) per numeric call from host-side class counts.
-    R_pad rounds to 64K-row granules (not pow2) to bound slab padding."""
+    R_pad rounds to 16K-row granules (not pow2) to bound slab padding; the
+    persistent compile cache absorbs the extra shape variety."""
     sched = []
     offset = 0
     for ci, L in enumerate(classes):
@@ -367,7 +398,7 @@ def _chunk_schedule(classes, counts, slot_budget):
         rows_per_chunk = max(slot_budget // L, 8)
         for lo in range(0, n, rows_per_chunk):
             cnt = min(rows_per_chunk, n - lo)
-            R_pad = min(_bucket_pow2(cnt), _round_up(cnt, 1 << 16))
+            R_pad = min(_bucket_pow2(cnt), _round_up(cnt, 1 << 14))
             sched.append((L, R_pad, offset + lo, cnt))
         offset += n
     return sched, offset  # offset = start of tail rows in rows_sorted
