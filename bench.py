@@ -110,11 +110,14 @@ def bench_kernels(A, P, k, chip):
     record("spmm_ell_k32", t, fl=2.0 * A.nnz * 32, sol=spmm_roofline(A.nnz, m, n, 32, chip=chip))
 
     if P is not None:
+        from spmm_tpu.ops.blocked import blocked_exec_view
+
         Pd = P.device()
+        view = blocked_exec_view(Pd)  # pack-once / multiply-many
         t = measure_device_loop(
-            lambda c, Pd: norm(blocked_spmm_xla(Pd, c)),
+            lambda c, Pd, v0, v1: norm(blocked_spmm_xla(Pd, c, view=(v0, v1))),
             B0,
-            (Pd,),
+            (Pd, view[0], view[1]),
             name="spmm_blocked_k128",
             iters=8,
         )

@@ -50,7 +50,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.dominant_sections.argtypes = [PLL, I32, LL, LL, PLL]
         U8 = ctypes.POINTER(ctypes.c_uint8)
         lib.panel_sort.restype = LL
-        lib.panel_sort.argtypes = [PLL, LL, PLL, LL, LL, LL, PLL, U8, PLL, PLL]
+        lib.panel_sort.argtypes = [PLL, LL, PLL, LL, LL, LL, PLL, U8, PLL, PLL, PLL]
         lib.counting_argsort.restype = None
         lib.counting_argsort.argtypes = [PLL, LL, LL, PLL]
         lib.spgemm_sizing.restype = LL
@@ -188,7 +188,7 @@ def pack_blocked(
 
 def panel_sort(lens: np.ndarray, panel_bounds: np.ndarray, group_width: int, max_len: int):
     """Native per-panel counting sort by row length + v8 grouping.  Returns
-    (perm, is_grouped, group_row, group_len) or None."""
+    (perm, is_grouped, group_row, group_len, row_group) or None."""
     lib = _load()
     if lib is None:
         return None
@@ -201,13 +201,14 @@ def panel_sort(lens: np.ndarray, panel_bounds: np.ndarray, group_width: int, max
     cap = max(nrow // max(group_width, 1) + 1, 1)
     group_row = np.empty(cap, dtype=np.int64)
     group_len = np.empty(cap, dtype=np.int64)
+    row_group = np.empty(nrow, dtype=np.int64)
     ng = lib.panel_sort(
         _i64p(lens), nrow, _i64p(panel_bounds), npanels,
         group_width, max_len, _i64p(perm),
         grouped.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        _i64p(group_row), _i64p(group_len),
+        _i64p(group_row), _i64p(group_len), _i64p(row_group),
     )
-    return perm, grouped.astype(bool), group_row[:ng].copy(), group_len[:ng].copy()
+    return perm, grouped.astype(bool), group_row[:ng].copy(), group_len[:ng].copy(), row_group
 
 
 def spgemm_sizing(a_indptr, a_ind, b_indptr, seg_w: int, classes):

@@ -204,12 +204,14 @@ long long pack_blocked(const long long* indptr_orig, const int* indices,
 //  grouped_out   (nrow)   1 if the row at final position is in a v8 group
 //  group_row_out (<=nrow/W) first final-row index of each group
 //  group_len_out (same)   per-row length L of each group
+//  row_group_out (nrow)   group id per final row, -1 if ungrouped
 // Returns the number of groups.
 long long panel_sort(const long long* lens, long long nrow,
                      const long long* panel_bounds, long long npanels,
                      long long group_width, long long max_len,
                      long long* perm_out, unsigned char* grouped_out,
-                     long long* group_row_out, long long* group_len_out) {
+                     long long* group_row_out, long long* group_len_out,
+                     long long* row_group_out) {
   const long long W = group_width;
   long long ngroups = 0;
   // scratch: counting bins for lengths 0..max_len
@@ -276,12 +278,14 @@ long long panel_sort(const long long* lens, long long nrow,
         long long pos = s + g_total + i;
         perm_out[pos] = pr[i].p;
         grouped_out[pos] = 0;
+        row_group_out[pos] = -1;
       }
     }
     // group table: every W consecutive grouped rows share a length
     for (long long k = 0; k + W <= g_total; k += W) {
       group_row_out[ngroups] = s + k;
       group_len_out[ngroups] = lens[perm_out[s + k]];
+      for (long long r = 0; r < W; ++r) row_group_out[s + k + r] = ngroups;
       ++ngroups;
     }
   }

@@ -50,13 +50,28 @@ def _global_cols(P: BlockedCSR) -> jax.Array:
     return jnp.asarray(P.gather_cols)[jnp.clip(slot, 0, P.ndistinct - 1)]
 
 
-def blocked_spmm_xla(
-    P: BlockedCSR, B: jax.Array, *, accum_dtype=jnp.float32, permute_back: bool = True
-) -> jax.Array:
-    """Y = unpack(P) @ B via the packed stream (validates the full format:
-    interleave, relabel, permutations)."""
+def blocked_exec_view(P: BlockedCSR):
+    """Pack-once execution view: (out_rows, global_cols) per packed nonzero,
+    computed on device once and reused across multiplies — recomputing the
+    v8-interleave/relabel indirections per call costs as much as the multiply
+    itself (measured 123 ms vs 84 ms on web-Google)."""
     out_rows = _final_out_rows(P)
     gcols = _global_cols(P)
+    return jax.block_until_ready((out_rows, gcols))
+
+
+def blocked_spmm_xla(
+    P: BlockedCSR,
+    B: jax.Array,
+    *,
+    accum_dtype=jnp.float32,
+    permute_back: bool = True,
+    view=None,
+) -> jax.Array:
+    """Y = unpack(P) @ B via the packed stream (validates the full format:
+    interleave, relabel, permutations).  Pass ``view=blocked_exec_view(P)``
+    for the pack-once/multiply-many pattern."""
+    out_rows, gcols = view if view is not None else (_final_out_rows(P), _global_cols(P))
     contrib = jnp.take(B, gcols, axis=0).astype(accum_dtype) * jnp.asarray(P.data).astype(
         accum_dtype
     )[:, None]

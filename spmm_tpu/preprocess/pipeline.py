@@ -96,6 +96,7 @@ def preprocess(A: CSR, config: Config | None = None) -> BlockedCSR:
     # --- pass 3a/3b: panelize + per-panel length sort + v8 grouping -----------
     panel_bounds = panelize(lens1, region_bounds, cfg.panel_rows, cfg.group_width)
     ps = None
+    row_group_native = None
     try:
         from spmm_tpu import native
 
@@ -105,7 +106,7 @@ def preprocess(A: CSR, config: Config | None = None) -> BlockedCSR:
         if res3 is not None:
             from spmm_tpu.preprocess.panels import PanelSortResult
 
-            perm3, grouped3, grow3, glen3 = res3
+            perm3, grouped3, grow3, glen3, row_group_native = res3
             ps = PanelSortResult(
                 perm=perm3,
                 panel_of_row=None,  # unused downstream; numpy path fills it
@@ -132,9 +133,12 @@ def preprocess(A: CSR, config: Config | None = None) -> BlockedCSR:
     np.cumsum(lens_final, out=indptr_final[1:])
     nnz = A.nnz
     grouped = ps.is_grouped  # per final row
-    grouped_rank = np.cumsum(grouped) - 1  # rank among grouped rows
     W = cfg.group_width
-    group_of_row = np.where(grouped, grouped_rank // W, -1)
+    if row_group_native is not None and W == 8:
+        group_of_row = row_group_native
+    else:
+        grouped_rank = np.cumsum(grouped) - 1  # rank among grouped rows
+        group_of_row = np.where(grouped, grouped_rank // W, -1)
     nregions = len(region_bounds) - 1
     region_nnz = indptr_final[region_bounds]
 
@@ -170,6 +174,7 @@ def preprocess(A: CSR, config: Config | None = None) -> BlockedCSR:
         cols2 = np.asarray(h.indices, dtype=np.int64)[src]
 
         # v8 interleave: dest = base + 8*e + r within each group's 8L block
+        grouped_rank = np.cumsum(grouped) - 1
         rr_of_row = np.where(grouped, grouped_rank % W, 0)
         group_base = indptr_final[ps.group_row] if ps.group_row.size else np.zeros(0, np.int64)
         g = group_of_row[row_of_pos]
