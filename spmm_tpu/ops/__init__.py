@@ -11,6 +11,7 @@ from spmm_tpu.ops.pallas_bsr import bsr_spmm_pallas, bsr_spmm_xla
 from spmm_tpu.ops.blocked import blocked_spmm_xla
 from spmm_tpu.ops.roofline import spmm_roofline, spmv_roofline, spgemm_roofline, ChipSpec
 from spmm_tpu.ops.segments import boundary_segments
+from spmm_tpu.ops.sddmm import sddmm, sddmm_values
 from spmm_tpu.ops.transform import (
     transpose,
     add,
@@ -43,6 +44,8 @@ __all__ = [
     "spgemm_roofline",
     "ChipSpec",
     "boundary_segments",
+    "sddmm",
+    "sddmm_values",
     "transpose",
     "add",
     "diagonal",

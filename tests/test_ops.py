@@ -104,3 +104,29 @@ def test_spgemm_empty():
     )
     C = spgemm(Z, Z)
     assert C.nnz == 0
+
+
+def test_sddmm_matches_dense():
+    import jax.numpy as jnp
+
+    from spmm_tpu.ops.sddmm import sddmm, sddmm_values
+
+    A = webgraph_like(120, 700, seed=9)
+    rng = np.random.default_rng(9)
+    U = rng.standard_normal((120, 16)).astype(np.float32)
+    V = rng.standard_normal((120, 16)).astype(np.float32)
+    Ad = A.pad(8).device()
+    C = sddmm(Ad, jnp.asarray(U), jnp.asarray(V))
+    dense = U @ V.T
+    S = A.to_scipy()
+    rows = np.repeat(np.arange(120), np.diff(np.asarray(A.indptr)))
+    cols = np.asarray(A.indices[: A.nnz])
+    ref = dense[rows, cols]
+    np.testing.assert_allclose(np.asarray(C.data[: A.nnz]), ref, rtol=1e-4, atol=1e-5)
+    # padding stays zero (canonical padded CSR)
+    assert not np.any(np.asarray(C.data[A.nnz :]))
+    # scaled variant: values multiply the samples (attention-style masking)
+    C2 = sddmm(Ad, jnp.asarray(U), jnp.asarray(V), scale_by_values=True)
+    np.testing.assert_allclose(
+        np.asarray(C2.data[: A.nnz]), ref * np.asarray(A.data[: A.nnz]), rtol=1e-4, atol=1e-5
+    )
