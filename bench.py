@@ -159,7 +159,7 @@ def bench_spgemm(A, chip):
     import jax
 
     from spmm_tpu.ops import spgemm_expand_bound, spgemm_roofline
-    from spmm_tpu.ops.spgemm_slab import spgemm_plan, spgemm_slab_device
+    from spmm_tpu.ops.slab_spgemm import spgemm_plan, spgemm_slab_device
 
     extras = {}
     expand = spgemm_expand_bound(A, A)
@@ -206,7 +206,7 @@ def bench_suite(cfg):
     import numpy as np
 
     from spmm_tpu.formats.synthetic import webgraph_like
-    from spmm_tpu.ops.spgemm_slab import spgemm_slab_device
+    from spmm_tpu.ops.slab_spgemm import spgemm_slab_device
 
     extras = {}
     for name, (n, nnz) in SUITE.items():

@@ -296,7 +296,7 @@ long long panel_sort(const long long* lens, long long nrow,
   return ngroups;
 }
 
-// SpGEMM slab-kernel sizing (ops/spgemm_slab.py): one O(nnz_A + nrow_B) pass
+// SpGEMM slab-kernel sizing (ops/slab_spgemm.py): one O(nnz_A + nrow_B) pass
 // computing, for C = A @ B with B rows split into width-W segments:
 //   nsegB   = total B segments,
 //   npa     = total (A-nonzero x B-segment) pairs,

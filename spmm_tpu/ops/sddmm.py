@@ -22,8 +22,9 @@ from spmm_tpu.formats.containers import CSR
 
 def sddmm_values(A: CSR, U: jax.Array, V: jax.Array, *, accum_dtype=jnp.float32) -> jax.Array:
     """Per-nonzero values ``(U @ V^T)[row_e, col_e]`` (length = padded nnz;
-    padding positions carry whatever U[0]·V[0] is — mask by A.data or slice
-    to A.nnz).  Jittable; rows derived on device from indptr."""
+    padding positions carry garbage samples — the row id saturates at the
+    last row — so mask them or slice to A.nnz).  Jittable; rows derived on
+    device from indptr."""
     from spmm_tpu.ops.segments import boundary_segments
 
     nnz_pad = jnp.asarray(A.indices).shape[0]

@@ -117,6 +117,10 @@ class SpgemmPlan:
     seg_w: int = dataclasses.field(metadata=dict(static=True))
     npa: int = dataclasses.field(metadata=dict(static=True))
     nrow: int = dataclasses.field(metadata=dict(static=True))
+    #: the budget the plan's paddings were sized with — the plan-based
+    #: execution path must reuse it (a larger budget would schedule chunks
+    #: past rows_sorted's padding)
+    slot_budget: int = dataclasses.field(metadata=dict(static=True))
 
 
 def _plan_body(
@@ -294,26 +298,8 @@ def spgemm_plan(
         seg_w=W,
         npa=npa,
         nrow=A.nrow,
+        slot_budget=slot_budget,
     )
-
-
-# ---------------------------------------------------------------------------
-# stream materialization
-# ---------------------------------------------------------------------------
-
-
-def _stream_body(b2_cols, b2_vals, pa_b2row, pa_aval, *, accum_dtype=jnp.float32):
-    """Padded partial-product stream as (npa_pad, W) — two aligned 2-D row
-    gathers.  Kept for tests/inspection; the fused path gathers slabs
-    directly from B2 (saves a full gather layer — gathers cost ~25 ns/row on
-    v5e regardless of width, so one layer ~= half the kernel)."""
-    cols = jnp.take(b2_cols, pa_b2row, axis=0)
-    vals = jnp.take(b2_vals, pa_b2row, axis=0).astype(accum_dtype)
-    vals = vals * pa_aval[:, None].astype(accum_dtype)
-    # B2 pad lanes carry col=INT_MAX; zero their values explicitly so padding
-    # never contributes regardless of B2 values
-    vals = jnp.where(cols == _INT_MAX, 0, vals)
-    return cols, vals
 
 
 # ---------------------------------------------------------------------------
@@ -383,7 +369,6 @@ def _chunk_body(
 _plan_device = jax.jit(
     _plan_body, static_argnames=("W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "nnz")
 )
-_stream = jax.jit(_stream_body, static_argnames=("accum_dtype",))
 _numeric_chunk = jax.jit(_chunk_body, static_argnames=("L", "R_pad", "W", "accum_dtype"))
 
 
@@ -452,7 +437,9 @@ def spgemm_slab_device(
     covering plan + stream + every class chunk (single dispatch).  With a
     plan, the phases run as separate dispatches (incremental / test use)."""
     if plan is not None:
-        sched, tail_start = _chunk_schedule(plan.classes, plan.class_counts, slot_budget)
+        sched, tail_start = _chunk_schedule(
+            plan.classes, plan.class_counts, plan.slot_budget
+        )
         outs = []
         for L, R_pad, start, cnt in sched:
             outs.append(
@@ -551,7 +538,12 @@ def spgemm_slab(
         sub = _take_rows(A.host(), np.asarray(tail_rows, np.int64))
         from spmm_tpu.ops.spgemm import spgemm as spgemm_sorted
 
-        Ct = spgemm_sorted(sub, B, as_csr=False)
+        # the global-sort fallback accumulates at the input dtype; upcast so
+        # tail rows match the slab rows' accum_dtype precision
+        npdt = np.dtype(jnp.dtype(accum_dtype).name)
+        sub = dataclasses.replace(sub, data=np.asarray(sub.data, npdt))
+        Bc = dataclasses.replace(B.host(), data=np.asarray(B.host().data, npdt))
+        Ct = spgemm_sorted(sub, Bc, as_csr=False)
         out_rows.append(
             np.asarray(tail_rows, np.int64)[np.asarray(Ct.row[: Ct.nnz], dtype=np.int64)]
         )
@@ -562,10 +554,20 @@ def spgemm_slab(
     cols = np.concatenate(out_cols) if out_cols else np.zeros(0, np.int64)
     vals = np.concatenate(out_vals) if out_vals else np.zeros(0, np.float32)
 
-    # assemble CSR without a global sort: each row lives in exactly one chunk
-    # with its columns already sorted, so a stable sort by row alone yields
-    # the final CSR order
-    nrow = A.nrow
+    out = _assemble_csr(rows, cols, vals, (A.nrow, B.ncol))
+    if as_csr:
+        return out
+    from spmm_tpu.formats.containers import to_coo
+
+    return to_coo(out)
+
+
+def _assemble_csr(rows, cols, vals, shape) -> CSR:
+    """Concatenated per-chunk outputs → canonical CSR without a global
+    comparison sort: each row lives in exactly one chunk with its columns
+    already sorted, so a STABLE sort by row id alone (native counting sort
+    when available) yields the final order."""
+    nrow = shape[0]
     counts = np.bincount(rows, minlength=nrow) if len(rows) else np.zeros(nrow, np.int64)
     out_indptr = np.zeros(nrow + 1, dtype=np.int64)
     np.cumsum(counts, out=out_indptr[1:])
@@ -573,21 +575,18 @@ def spgemm_slab(
     c_ind = np.empty(nnz_out, dtype=np.int32)
     c_dat = np.empty(nnz_out, dtype=vals.dtype if len(vals) else np.float32)
     if nnz_out:
-        order = np.argsort(rows, kind="stable")
+        from spmm_tpu.ops.transform import _stable_argsort_smallint
+
+        order = _stable_argsort_smallint(rows, nrow)
         c_ind[:] = cols[order]
         c_dat[:] = vals[order]
-    out = CSR(
+    return CSR(
         data=c_dat,
         indices=c_ind,
-        indptr=out_indptr.astype(np.int64),
-        shape=(A.nrow, B.ncol),
+        indptr=out_indptr,
+        shape=shape,
         nnz=nnz_out,
     )
-    if as_csr:
-        return out
-    from spmm_tpu.formats.containers import to_coo
-
-    return to_coo(out)
 
 
 def _take_rows(Ah: CSR, rows: np.ndarray) -> CSR:

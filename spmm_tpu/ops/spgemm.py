@@ -126,7 +126,7 @@ def spgemm(
     memory, device ESC per chunk, host concatenation.  Returns CSR (or COO).
 
     This is the fallback/oracle path (and the heavy-tail row handler for the
-    production slab kernel, ops/spgemm_slab.py): a global TPU ``lax.sort``
+    production slab kernel, ops/slab_spgemm.py): a global TPU ``lax.sort``
     runs ~20x slower than the slab kernel's batched minor-axis sorts."""
     if A.nnz == 0 or B.nnz == 0:
         out = COO(

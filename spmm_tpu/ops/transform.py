@@ -19,7 +19,9 @@ from spmm_tpu.formats.containers import COO, CSR, to_csr
 
 
 def transpose(A: CSR) -> CSR:
-    """A^T as canonical CSR (counting sort by column — O(nnz + ncol))."""
+    """A^T as canonical CSR — stable counting sort by column (native O(nnz +
+    ncol) when available, numpy stable argsort fallback); within a column,
+    rows keep CSR order (already ascending)."""
     h = A.host()
     m, n = A.shape
     nnz = A.nnz
@@ -29,11 +31,24 @@ def transpose(A: CSR) -> CSR:
     cnt = np.bincount(cols, minlength=n)
     out_indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(cnt, out=out_indptr[1:])
-    # stable counting placement: within a column, rows keep CSR order (sorted)
-    order = np.argsort(cols, kind="stable")
+    order = _stable_argsort_smallint(cols, n)
     out_ind = rows[order].astype(np.int32)
     out_dat = np.asarray(h.data[:nnz])[order]
     return CSR(data=out_dat, indices=out_ind, indptr=out_indptr, shape=(n, m), nnz=nnz)
+
+
+def _stable_argsort_smallint(keys: np.ndarray, nkeys: int) -> np.ndarray:
+    """Stable argsort of integer keys in [0, nkeys) — native counting sort
+    when available (O(n + nkeys)), numpy stable argsort otherwise."""
+    try:
+        from spmm_tpu import native
+
+        perm = native.counting_argsort(keys, nkeys)
+        if perm is not None:
+            return perm
+    except Exception:
+        pass
+    return np.argsort(keys, kind="stable")
 
 
 def add(A: CSR, B: CSR, alpha: float = 1.0, beta: float = 1.0) -> CSR:
@@ -59,11 +74,17 @@ def add(A: CSR, B: CSR, alpha: float = 1.0, beta: float = 1.0) -> CSR:
         [alpha * np.asarray(Ah.data[: A.nnz]), beta * np.asarray(Bh.data[: B.nnz])]
     )
     key = rows * np.int64(n) + cols
+    if len(key) == 0:
+        out = COO(
+            row=np.zeros(0, np.int32), col=np.zeros(0, np.int32),
+            data=np.zeros(0, vals.dtype), shape=(m, n), nnz=0,
+        )
+        return to_csr(out, sort_within_row=False, sum_duplicates=False)
     order = np.argsort(key, kind="stable")
     key, vals = key[order], vals[order]
     first = np.concatenate([[True], key[1:] != key[:-1]])
     seg = np.cumsum(first) - 1
-    out_vals = np.zeros(int(seg[-1]) + 1 if len(seg) else 0, dtype=vals.dtype)
+    out_vals = np.zeros(int(seg[-1]) + 1, dtype=vals.dtype)
     np.add.at(out_vals, seg, vals)
     ukey = key[first]
     out = COO(

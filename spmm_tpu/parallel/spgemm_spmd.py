@@ -6,7 +6,7 @@ is the shard unit, SURVEY.md §2.4/§2.12); B's CSR is replicated (SpGEMM needs
 random access to all of B's rows — the ring/halo refinement streams only the
 rows each shard references, see parallel/spmm_dist.py for the dense-RHS ring).
 
-Every shard runs the same slab-ESC program (ops/spgemm_slab.py) under
+Every shard runs the same slab-ESC program (ops/slab_spgemm.py) under
 ``shard_map``, which requires uniform static shapes across shards:
 
 - pa/segment paddings are the max over shards;
@@ -35,7 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spmm_tpu.formats.containers import CSR
 from spmm_tpu.parallel.partition import ShardedCSR
-from spmm_tpu.ops.spgemm_slab import (
+from spmm_tpu.ops.slab_spgemm import (
     DEFAULT_CLASSES,
     DEFAULT_SEG_W,
     DEFAULT_SLOT_BUDGET,
@@ -78,6 +78,11 @@ def _per_shard_sizing(S: ShardedCSR, B: CSR, W: int, classes):
             for c in classes:
                 cls += (exp_pad > c).astype(np.int32)
             cls[exp_pad == 0] = len(classes) + 1
+        if npa * W >= 2**31:
+            raise ValueError(
+                f"shard {s}: padded expansion exceeds int32 range; "
+                "use more shards or chunk rows first"
+            )
         npa_max = max(npa_max, npa)
         counts_all.append(np.bincount(cls, minlength=len(classes) + 2)[: len(classes) + 1])
         cls_all.append(cls)
@@ -127,9 +132,11 @@ def spgemm_dist_spmd(
     """C = A @ B with A row-sharded over ``mesh[axis]``.  One SPMD program;
     all shards execute the identical slab-ESC kernel on their row block.
 
-    Rows whose padded expansion exceeds the largest class are not supported
-    here (they would need the host fallback per shard); preprocess A or raise
-    the class ceiling if ``ValueError`` is raised.
+    Rows whose padded expansion exceeds the largest class go through the
+    per-shard host fallback during assembly.  With ``as_csr=False`` the raw
+    device outputs are returned as ``(rows_sorted, chunk_outputs,
+    tail_rows_per_shard)`` — the caller owns the tail rows (their products
+    are NOT in the chunk outputs).
     """
     W = seg_w
     classes = tuple(sorted({_round_up(c, W) for c in classes}))
@@ -199,7 +206,13 @@ def spgemm_dist_spmd(
         jnp.asarray(Bh.data),
     )
     if not as_csr:
-        return rows_sorted, outs
+        base = counts[:, : len(classes)].sum(axis=1)
+        rs_host = np.asarray(rows_sorted)
+        tails = [
+            rs_host[s, int(base[s]) : int(base[s]) + int(tail_per_shard[s])]
+            for s in range(nsh)
+        ]
+        return rows_sorted, outs, tails
 
     # ---- host assembly into a global CSR -----------------------------------
     row_starts = np.asarray(S.row_starts, np.int64)
@@ -216,7 +229,7 @@ def spgemm_dist_spmd(
             cols_l.append(cu[s][mask].astype(np.int64))
             vals_l.append(vu[s][mask])
     if tail_per_shard.sum():
-        from spmm_tpu.ops.spgemm_slab import _take_rows
+        from spmm_tpu.ops.slab_spgemm import _take_rows
         from spmm_tpu.ops.spgemm import spgemm as spgemm_sorted
 
         rs = np.asarray(rows_sorted)
@@ -234,7 +247,14 @@ def spgemm_dist_spmd(
                 shape=(S.rows_per_shard, S.shape[1]),
                 nnz=int(iptr[s, -1]),
             )
-            Ct = spgemm_sorted(_take_rows(sub_full, trows), B, as_csr=False)
+            import dataclasses as _dc
+
+            npdt = np.dtype(jnp.dtype(accum_dtype).name)
+            sub_t = _take_rows(sub_full, trows)
+            sub_t = _dc.replace(sub_t, data=np.asarray(sub_t.data, npdt))
+            Bh2 = B.host()
+            Bc = _dc.replace(Bh2, data=np.asarray(Bh2.data, npdt))
+            Ct = spgemm_sorted(sub_t, Bc, as_csr=False)
             rows_l.append(trows[np.asarray(Ct.row[: Ct.nnz], np.int64)] + row_starts[s])
             cols_l.append(np.asarray(Ct.col[: Ct.nnz], np.int64))
             vals_l.append(np.asarray(Ct.data[: Ct.nnz]))
@@ -242,21 +262,6 @@ def spgemm_dist_spmd(
     rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
     cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
     vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.float32)
-    nrow = S.shape[0]
-    cnt = np.bincount(rows, minlength=nrow) if len(rows) else np.zeros(nrow, np.int64)
-    out_indptr = np.zeros(nrow + 1, dtype=np.int64)
-    np.cumsum(cnt, out=out_indptr[1:])
-    nnz_out = int(out_indptr[-1])
-    c_ind = np.empty(nnz_out, dtype=np.int32)
-    c_dat = np.empty(nnz_out, dtype=vals.dtype if len(vals) else np.float32)
-    if nnz_out:
-        order = np.argsort(rows, kind="stable")
-        c_ind[:] = cols[order]
-        c_dat[:] = vals[order]
-    return CSR(
-        data=c_dat,
-        indices=c_ind,
-        indptr=out_indptr,
-        shape=(nrow, B.ncol),
-        nnz=nnz_out,
-    )
+    from spmm_tpu.ops.slab_spgemm import _assemble_csr
+
+    return _assemble_csr(rows, cols, vals, (S.shape[0], B.ncol))

@@ -125,7 +125,7 @@ def spgemm_dist(A_sharded: ShardedCSR, B_csr, mesh: Mesh, *, axis: str = "rows")
     region gather lists enable — see spmm_tpu.ops.spgemm for the single-chip
     kernel this wraps."""
     from spmm_tpu.formats.containers import CSR
-    from spmm_tpu.ops.spgemm_slab import spgemm_slab as spgemm
+    from spmm_tpu.ops.slab_spgemm import spgemm_slab as spgemm
     import numpy as np
 
     # host-driven per-shard execution (device ESC per shard, chunked)

@@ -6,7 +6,7 @@ bracketing each pass; SURVEY.md §5): ``profile_fn`` captures a
 ``jax.profiler`` trace of one execution and aggregates device time per HLO
 fusion, attributed back to Python source lines via the compiled module's
 metadata.  This is how the SpGEMM kernel's gather/sort/scatter budget was
-measured (ops/spgemm_slab.py's rate table).
+measured (ops/slab_spgemm.py's rate table).
 """
 
 from __future__ import annotations
@@ -68,6 +68,8 @@ def profile_fn(fn: Callable, *args, fence: Callable | None = None, **kwargs) -> 
     device-side op times.  ``fn`` should be jitted (or call jitted code);
     ``fence`` (default: numpy-read the first leaf) forces completion inside
     the trace window."""
+    import shutil
+
     import jax
     import numpy as np
 
@@ -76,23 +78,26 @@ def profile_fn(fn: Callable, *args, fence: Callable | None = None, **kwargs) -> 
     _fence(out, fence)
 
     tmp = tempfile.mkdtemp(prefix="spmm_prof_")
-    with jax.profiler.trace(tmp):
-        out = fn(*args, **kwargs)
-        _fence(out, fence)
+    try:
+        with jax.profiler.trace(tmp):
+            out = fn(*args, **kwargs)
+            _fence(out, fence)
 
-    # source attribution via the jitted function's compiled text, if reachable
-    srcmap = {}
-    lowered = getattr(fn, "lower", None)
-    if lowered is not None:
-        try:
-            srcmap = _source_map(fn.lower(*args, **kwargs).compile().as_text())
-        except Exception:
-            srcmap = {}
+        # source attribution via the jitted function's compiled text
+        srcmap = {}
+        lowered = getattr(fn, "lower", None)
+        if lowered is not None:
+            try:
+                srcmap = _source_map(fn.lower(*args, **kwargs).compile().as_text())
+            except Exception:
+                srcmap = {}
 
-    traces = sorted(glob.glob(os.path.join(tmp, "plugins/profile/*/*.trace.json.gz")))
-    if not traces:
-        return Profile(total_device_ms=float("nan"), ops=[])
-    d = json.load(gzip.open(traces[-1]))
+        traces = sorted(glob.glob(os.path.join(tmp, "plugins/profile/*/*.trace.json.gz")))
+        if not traces:
+            return Profile(total_device_ms=float("nan"), ops=[])
+        d = json.load(gzip.open(traces[-1]))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     pids = {}
     for e in d.get("traceEvents", []):
         if e.get("ph") == "M" and e.get("name") == "process_name":

@@ -15,7 +15,7 @@ from spmm_tpu.formats.synthetic import webgraph_like
 def test_spgemm_bitwise_deterministic():
     """Two runs produce bit-identical results (no atomics / unordered
     reductions anywhere in the kernel)."""
-    from spmm_tpu.ops.spgemm_slab import spgemm_slab
+    from spmm_tpu.ops.slab_spgemm import spgemm_slab
 
     A = webgraph_like(1500, 9000, seed=4)
     C1 = spgemm_slab(A, A)

@@ -38,7 +38,7 @@ def test_spgemm_fp64_parity():
     with jax.enable_x64():
         A = _random64(150, 150, 0.04, 2)
         Ac = CSR.from_scipy(A)
-        from spmm_tpu.ops.spgemm_slab import spgemm_slab
+        from spmm_tpu.ops.slab_spgemm import spgemm_slab
 
         C = spgemm_slab(Ac, Ac, accum_dtype=jnp.float64)
         ref = (A @ A).tocsr()

@@ -1,4 +1,4 @@
-"""Slab-sorted ESC SpGEMM (ops/spgemm_slab.py) vs the scipy oracle.
+"""Slab-sorted ESC SpGEMM (ops/slab_spgemm.py) vs the scipy oracle.
 
 The reference implies SpGEMM A_pattern x A_pattern as ground truth
 (SURVEY.md §3.3-3.4); these tests extend that to general rectangular
@@ -12,7 +12,7 @@ import scipy.sparse as sp
 
 from spmm_tpu.formats.containers import CSR
 from spmm_tpu.formats.synthetic import webgraph_like
-from spmm_tpu.ops.spgemm_slab import spgemm_plan, spgemm_slab
+from spmm_tpu.ops.slab_spgemm import spgemm_plan, spgemm_slab
 
 
 def _oracle(A, B):
@@ -96,4 +96,21 @@ def test_matches_global_sort_path():
     assert np.array_equal(np.asarray(C1.indices[: C1.nnz]), np.asarray(C2.indices[: C2.nnz]))
     np.testing.assert_allclose(
         np.asarray(C1.data[: C1.nnz]), np.asarray(C2.data[: C2.nnz]), rtol=1e-5
+    )
+
+
+def test_prebuilt_plan_uses_its_own_budget():
+    """Regression: executing a plan built with a small slot budget through
+    spgemm_slab_device's default budget scheduled chunks past the plan's
+    rows_sorted padding (dynamic_slice crash)."""
+    from spmm_tpu.ops.slab_spgemm import spgemm_plan, spgemm_slab_device
+
+    A = webgraph_like(3000, 18000, seed=6)
+    plan = spgemm_plan(A, A, slot_budget=1 << 14)
+    outs, tails, _ = spgemm_slab_device(A, A, plan=plan)  # default budget differs
+    nnz_out = sum(int(np.asarray(o[3]).sum()) for o in outs)
+    ref = (A.to_scipy() @ A.to_scipy()).tocsr()
+    ref.sum_duplicates()
+    assert nnz_out + 0 == ref.nnz - sum(  # tail rows handled by caller
+        ref.indptr[r + 1] - ref.indptr[r] for r in np.asarray(tails, np.int64)
     )

@@ -110,3 +110,15 @@ def test_pagerank_example_matches_dense():
     for _ in range(80):
         x = 0.85 * (P.T @ x + x[dang].sum() / 300) + 0.15 / 300
     np.testing.assert_allclose(ranks, x, rtol=5e-3, atol=1e-6)
+
+
+def test_add_empty_operands():
+    """Regression: add() crashed when both operands were empty."""
+    import scipy.sparse as sp
+
+    Z = CSR.from_scipy(sp.csr_matrix((7, 9), dtype=np.float32))
+    C = add(Z, Z)
+    assert C.nnz == 0 and C.shape == (7, 9)
+    A = _rand(7, 9, 0.2, 11)
+    C2 = add(CSR.from_scipy(A), Z)
+    np.testing.assert_allclose(C2.to_scipy().toarray(), A.toarray())
