@@ -122,3 +122,20 @@ def test_add_empty_operands():
     A = _rand(7, 9, 0.2, 11)
     C2 = add(CSR.from_scipy(A), Z)
     np.testing.assert_allclose(C2.to_scipy().toarray(), A.toarray())
+
+
+def test_cg_solver_example():
+    """examples/cg_solver.py converges on a Laplacian system."""
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from cg_solver import cg, laplacian_system
+
+    from spmm_tpu.formats.synthetic import webgraph_like
+
+    A = webgraph_like(400, 2400, seed=13)
+    L = laplacian_system(A, eps=0.1)
+    b = np.random.default_rng(1).standard_normal(400).astype(np.float32)
+    x, hist = cg(L, b, iters=300)
+    res = np.linalg.norm(L.to_scipy() @ x - b) / np.linalg.norm(b)
+    assert res < 1e-3, res
