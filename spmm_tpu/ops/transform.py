@@ -8,7 +8,7 @@ matrix D^-1 A that PageRank-style chained SpMV workloads use).
 
 Host paths are O(nnz) numpy counting passes; device paths use one global
 sort (fine for one-shot transforms — the per-multiply hot loops in
-spgemm_slab.py avoid global sorts, but a transform runs once).
+slab_spgemm.py avoid global sorts, but a transform runs once).
 """
 
 from __future__ import annotations
