@@ -6,8 +6,9 @@ This is the consumer the reference format implies but never ships
 multiply v8 groups as dense (8, L) tiles and remain rows as gathered dot
 products, writing rows in final order; un-permute with ``row_inv`` at the end.
 
-``blocked_spmm_xla`` is the XLA formulation (correctness oracle + fallback);
-the Pallas VMEM-resident kernel lives in spmm_tpu.ops.pallas_spmm.
+``blocked_spmm_xla`` is the XLA formulation — the production path; see
+``blocked_spmm`` for why a Pallas VMEM-panel kernel is infeasible on this
+toolchain.
 """
 
 from __future__ import annotations
@@ -83,12 +84,15 @@ def blocked_spmm_xla(
 
 
 def blocked_spmm(P: BlockedCSR, B: jax.Array, **kw) -> jax.Array:
-    """Dispatcher: Pallas kernel on TPU when available, XLA otherwise."""
-    try:
-        from spmm_tpu.ops.pallas_spmm import blocked_spmm_pallas
+    """Dispatcher for the packed-format SpMM.
 
-        if jax.devices()[0].platform == "tpu":
-            return blocked_spmm_pallas(P, B, **kw)
-    except (ImportError, NotImplementedError):
-        pass
+    A Pallas kernel staging the per-region gathered RHS panel in VMEM was
+    prototyped and is NOT shippable on this toolchain: Mosaic's only gather
+    primitive (``tpu.dynamic_gather``) spans a single vreg (8 sublanes) along
+    the gather dimension, so random row gathers from a VMEM panel cannot be
+    expressed ("Multiple source vregs along gather dimension").  The XLA
+    formulation below is therefore the production path; for repeated
+    multiplies pass ``view=blocked_exec_view(P)``.  For raw SpMM speed use
+    the ELL kernel (ops/ell_spmm.py) — see the README primitive-rate table.
+    """
     return blocked_spmm_xla(P, B, **kw)
