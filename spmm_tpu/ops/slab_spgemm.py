@@ -104,10 +104,11 @@ def _shift_right(x):
 class SpgemmPlan:
     """Device-resident expansion layout.  pa = (A-nonzero, B-segment) pair."""
 
-    b2_cols: jax.Array  #: (nsegB_pad, W) aligned padded B column table
-    b2_vals: jax.Array  #: (nsegB_pad, W) aligned padded B value table
-    pa_b2row: jax.Array  #: (npa_pad,) B2 row of each pa
-    pa_aval: jax.Array  #: (npa_pad,) A value of each pa
+    #: (nsegB_pad, (1+nvb)*W) aligned padded B table: [cols | value bits]
+    #: interleaved so ONE row gather fetches both (gathers charge per row)
+    b2_packed: jax.Array
+    #: (npa_pad, 1+nva) packed pa table: [b2row | A-value bits]
+    pa_packed: jax.Array
     pa_row_base: jax.Array  #: (nrow,) first pa of each output row
     npa_row: jax.Array  #: (nrow,) pa count per output row
     rows_sorted: jax.Array  #: (nrow_pad,) row ids ordered by class
@@ -121,6 +122,8 @@ class SpgemmPlan:
     #: execution path must reuse it (a larger budget would schedule chunks
     #: past rows_sorted's padding)
     slot_budget: int = dataclasses.field(metadata=dict(static=True))
+    a_dtype: str = dataclasses.field(metadata=dict(static=True))
+    b_dtype: str = dataclasses.field(metadata=dict(static=True))
 
 
 def _plan_body(
@@ -156,6 +159,10 @@ def _plan_body(
     flat_vals = jnp.zeros((nsegB_pad * W,), b_dat.dtype).at[dest].set(b_dat, mode="drop")
     b2_cols = flat_cols.reshape(nsegB_pad, W)
     b2_vals = flat_vals.reshape(nsegB_pad, W)
+    # interleave cols and value BITS into one table: row gathers charge per
+    # ROW on v5e, so one (1+nvb)W-wide gather replaces two W-wide ones
+    b2_vbits = jax.lax.bitcast_convert_type(b2_vals, jnp.int32).reshape(nsegB_pad, -1)
+    b2_packed = jnp.concatenate([b2_cols, b2_vbits], axis=1)
 
     # --- pa enumeration (kept A-nonzero x B-segment) -------------------------
     # pa_b2row is a ramp (+1 per pa) with per-a rebasing to bseg_off[j]:
@@ -187,11 +194,10 @@ def _plan_body(
         return jnp.cumsum(d)[:npa_pad]
 
     pa_b2row = jnp.where(pa_live, step_fn(c_a) + pa_idx, nsegB_pad - 1)
-    vsteps = [step_fn(v_a[:, i]) for i in range(nv)]
-    vrec = vsteps[0] if nv == 1 else jnp.stack(vsteps, axis=1)
-    pa_aval = jnp.where(
-        pa_live, jax.lax.bitcast_convert_type(vrec, a_dat.dtype), 0
+    vbits = jnp.stack(
+        [jnp.where(pa_live, step_fn(v_a[:, i]), 0) for i in range(nv)], axis=1
     )
+    pa_packed = jnp.concatenate([pa_b2row[:, None], vbits], axis=1)
 
     pa_row_base = seg_off[a_indptr[:-1]]
     npa_row = seg_off[a_indptr[1:]] - pa_row_base
@@ -199,7 +205,7 @@ def _plan_body(
     rows = jnp.arange(nrow, dtype=jnp.int32)
     _, rows_sorted = jax.lax.sort((cls_of_row, rows), num_keys=1, is_stable=True)
     rows_sorted = jnp.concatenate([rows_sorted, jnp.zeros((nrow_pad - nrow,), jnp.int32)])
-    return b2_cols, b2_vals, pa_b2row, pa_aval, pa_row_base, npa_row, rows_sorted
+    return b2_packed, pa_packed, pa_row_base, npa_row, rows_sorted
 
 
 def _sizing(A: CSR, B: CSR, W: int, classes):
@@ -270,7 +276,7 @@ def spgemm_plan(
     nrow_pad = A.nrow + max_chunk
     npa_pad = _round_up(npa, 1024)
     nsegB_pad = _round_up(nsegB, 1024)
-    (b2_cols, b2_vals, pa_b2row, pa_aval, pa_row_base, npa_row, rows_sorted) = _plan_device(
+    (b2_packed, pa_packed, pa_row_base, npa_row, rows_sorted) = _plan_device(
         jnp.asarray(A_dev.indptr, jnp.int32),
         jnp.asarray(A_dev.indices, jnp.int32),
         jnp.asarray(A_dev.data),
@@ -286,10 +292,8 @@ def spgemm_plan(
         nnz=A.nnz,
     )
     return SpgemmPlan(
-        b2_cols=b2_cols,
-        b2_vals=b2_vals,
-        pa_b2row=pa_b2row,
-        pa_aval=pa_aval,
+        b2_packed=b2_packed,
+        pa_packed=pa_packed,
         pa_row_base=pa_row_base,
         npa_row=npa_row,
         rows_sorted=rows_sorted,
@@ -299,6 +303,8 @@ def spgemm_plan(
         npa=npa,
         nrow=A.nrow,
         slot_budget=slot_budget,
+        a_dtype=str(np.asarray(A.host().data).dtype),
+        b_dtype=str(np.asarray(B.host().data).dtype),
     )
 
 
@@ -308,10 +314,8 @@ def spgemm_plan(
 
 
 def _chunk_body(
-    b2_cols,  # (nsegB_pad, W)
-    b2_vals,
-    pa_b2row,  # (npa_pad,)
-    pa_aval,
+    b2_packed,  # (nsegB_pad, (1+nvb)*W): [cols | B value bits]
+    pa_packed,  # (npa_pad, 1+nva): [b2row | A value bits]
     rows_sorted,
     pa_row_base,
     npa_row,
@@ -321,13 +325,17 @@ def _chunk_body(
     L: int,
     R_pad: int,
     W: int,
+    a_dtype: str = "float32",
+    b_dtype: str = "float32",
     accum_dtype=jnp.float32,
 ):
     """One (R_pad, L) slab chunk: gather each row's padded partials straight
-    from the B2 table (one indirection via the pa arrays), batched sort by
-    column, scatter-free duplicate merge.  Returns (rows, cols_u, vals_u,
-    nuniq)."""
+    from the packed B2 table (one pa-table row gather + one B2 row gather —
+    cols and value bits ride the same rows since gathers charge per row),
+    batched sort by column, scatter-free duplicate merge.  Returns
+    (rows, cols_u, vals_u, nuniq)."""
     nblk = L // W
+    nva = pa_packed.shape[1] - 1
     ii = jnp.arange(R_pad, dtype=jnp.int32)
     in_chunk = ii < count
     r = jax.lax.dynamic_slice(rows_sorted, (start,), (R_pad,))
@@ -335,12 +343,22 @@ def _chunk_body(
     nb = jnp.where(in_chunk, npa_row[r], 0)
 
     bi = jax.lax.broadcasted_iota(jnp.int32, (R_pad, nblk), 1)
-    pa = jnp.clip(base[:, None] + bi, 0, pa_b2row.shape[0] - 1)
+    pa = jnp.clip(base[:, None] + bi, 0, pa_packed.shape[0] - 1)
     bm = bi < nb[:, None]  # mask blocks that belong to other rows / padding
-    b2r = jnp.take(pa_b2row, pa.reshape(-1), axis=0)
-    aval = jnp.take(pa_aval, pa.reshape(-1), axis=0)
-    col = jnp.take(b2_cols, b2r, axis=0)  # (R_pad*nblk, W) aligned row gather
-    val = jnp.take(b2_vals, b2r, axis=0).astype(accum_dtype)
+    pa_g = jnp.take(pa_packed, pa.reshape(-1), axis=0)  # (S, 1+nva)
+    b2r = pa_g[:, 0]
+    avbits = pa_g[:, 1:]
+    aval = jax.lax.bitcast_convert_type(
+        avbits if nva > 1 else avbits[:, 0], jnp.dtype(a_dtype)
+    )
+    g = jnp.take(b2_packed, b2r, axis=0)  # (S, (1+nvb)W) one row gather
+    col = g[:, :W]
+    S = g.shape[0]
+    nvb = (g.shape[1] - W) // W
+    vbits = g[:, W:]
+    val = jax.lax.bitcast_convert_type(
+        vbits.reshape(S, W, nvb) if nvb > 1 else vbits, jnp.dtype(b_dtype)
+    ).astype(accum_dtype)
     val = val * aval[:, None].astype(accum_dtype)
     val = jnp.where(col == _INT_MAX, 0, val)  # B2 row-tail padding
     col = jnp.where(bm.reshape(-1)[:, None], col, _INT_MAX)
@@ -369,7 +387,9 @@ def _chunk_body(
 _plan_device = jax.jit(
     _plan_body, static_argnames=("W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "nnz")
 )
-_numeric_chunk = jax.jit(_chunk_body, static_argnames=("L", "R_pad", "W", "accum_dtype"))
+_numeric_chunk = jax.jit(
+    _chunk_body, static_argnames=("L", "R_pad", "W", "a_dtype", "b_dtype", "accum_dtype")
+)
 
 
 def _chunk_schedule(classes, counts, slot_budget):
@@ -399,18 +419,19 @@ def _fused_exec(
     a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_of_row,
     *, W, npa_pad, nsegB_pad, nrow, nrow_pad, nnz, schedule, accum_dtype
 ):
-    """plan + stream + every class chunk in ONE compiled program — a single
-    dispatch (the remote-device tunnel charges ~50 ms per dispatch plus a
-    fence round-trip, so one program beats ten)."""
-    (b2_cols, b2_vals, pa_b2row, pa_aval, pa_row_base, npa_row, rows_sorted) = _plan_body(
+    """plan + every class chunk in ONE compiled program — a single dispatch
+    (the remote-device tunnel charges ~50 ms per dispatch plus a fence
+    round-trip, so one program beats ten)."""
+    (b2_packed, pa_packed, pa_row_base, npa_row, rows_sorted) = _plan_body(
         a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_of_row,
         W=W, npa_pad=npa_pad, nsegB_pad=nsegB_pad, nrow=nrow, nrow_pad=nrow_pad, nnz=nnz,
     )
+    a_dt, b_dt = str(a_dat.dtype), str(b_dat.dtype)
     outs = tuple(
         _chunk_body(
-            b2_cols, b2_vals, pa_b2row, pa_aval, rows_sorted, pa_row_base, npa_row,
+            b2_packed, pa_packed, rows_sorted, pa_row_base, npa_row,
             jnp.int32(start), jnp.int32(cnt), L=L, R_pad=R_pad, W=W,
-            accum_dtype=accum_dtype,
+            a_dtype=a_dt, b_dtype=b_dt, accum_dtype=accum_dtype,
         )
         for (L, R_pad, start, cnt) in schedule
     )
@@ -444,10 +465,8 @@ def spgemm_slab_device(
         for L, R_pad, start, cnt in sched:
             outs.append(
                 _numeric_chunk(
-                    plan.b2_cols,
-                    plan.b2_vals,
-                    plan.pa_b2row,
-                    plan.pa_aval,
+                    plan.b2_packed,
+                    plan.pa_packed,
                     plan.rows_sorted,
                     plan.pa_row_base,
                     plan.npa_row,
@@ -456,6 +475,8 @@ def spgemm_slab_device(
                     L=L,
                     R_pad=R_pad,
                     W=plan.seg_w,
+                    a_dtype=plan.a_dtype,
+                    b_dtype=plan.b_dtype,
                     accum_dtype=accum_dtype,
                 )
             )

@@ -175,16 +175,17 @@ def spgemm_dist_spmd(
     def run(indptr, ind, dat, cls_s, nnz_sc, sc_tab, b_indptr, b_ind, b_dat):
         indptr, ind, dat = indptr[0], ind[0], dat[0]
         cls_s, nnz_sc, sc_tab = cls_s[0], nnz_sc[0], sc_tab[0]
-        (b2c, b2v, pab, paa, prb, npr, rows_sorted) = _plan_body(
+        (b2p, pap, prb, npr, rows_sorted) = _plan_body(
             indptr, ind, dat, b_indptr, b_ind, b_dat, cls_s, nnz=nnz_sc[0], **kw
         )
+        a_dt, b_dt = str(dat.dtype), str(b_dat.dtype)
         outs = []
         for i, (L, R_pad) in enumerate(schedule):
             outs.append(
                 _chunk_body(
-                    b2c, b2v, pab, paa, rows_sorted, prb, npr,
+                    b2p, pap, rows_sorted, prb, npr,
                     sc_tab[0, i], sc_tab[1, i], L=L, R_pad=R_pad, W=W,
-                    accum_dtype=accum_dtype,
+                    a_dtype=a_dt, b_dtype=b_dt, accum_dtype=accum_dtype,
                 )
             )
         # re-add the leading shard axis for out_specs
