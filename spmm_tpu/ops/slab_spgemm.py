@@ -173,13 +173,19 @@ def _plan_body(
     nnz_pad = a_ind.shape[0]
     pos = jnp.arange(nnz_pad, dtype=jnp.int32)
     jj = jnp.clip(a_ind, 0, nrowB - 1)
-    live_a = (pos < nnz) & (lenB[jj] > 0)
-    nseg_a = jnp.where(live_a, nsegB_row[jj], 0)
+    # one (nrowB, 4) table so the three per-B-row lookups ride ONE row gather
+    # (gathers charge per row; three scalar gathers cost 3x this)
+    brow_tab = jnp.stack(
+        [lenB, nsegB_row, bseg_off[:-1], jnp.zeros_like(lenB)], axis=1
+    )
+    bg = jnp.take(brow_tab, jj, axis=0)  # (nnz_pad, 4)
+    live_a = (pos < nnz) & (bg[:, 0] > 0)
+    nseg_a = jnp.where(live_a, bg[:, 1], 0)
     seg_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(nseg_a)])
     pa_idx = jnp.arange(npa_pad, dtype=jnp.int32)
     pa_live = pa_idx < seg_off[-1]
 
-    c_a = jnp.where(live_a, bseg_off[jj] - seg_off[:-1], 0)
+    c_a = jnp.where(live_a, bg[:, 2] - seg_off[:-1], 0)
     bits = jax.lax.bitcast_convert_type(a_dat, jnp.int32)
     if bits.ndim == 1:  # fp32: one int32 channel; fp64: two
         bits = bits[:, None]
