@@ -40,15 +40,26 @@ def make_mesh(
     return Mesh(dev_array, axis_names)
 
 
-def initialize_distributed() -> None:
-    """Multi-host bootstrap (no-op single-host).  Call before building
-    meshes on a real pod slice."""
+def initialize_distributed(*, retries: int = 5, backoff_s: float = 2.0) -> None:
+    """Multi-host bootstrap (no-op single-host): ``jax.distributed`` with
+    retry — coordinator startup on a pod slice is racy, and a transient
+    connect failure should not kill the job (SURVEY.md §5 failure-detection
+    note; this is the framework's only multi-host init surface)."""
+    import os
+    import time
+
     if jax.process_count() > 1:
         return  # already initialized by the launcher
-    try:
-        import os
-
-        if "COORDINATOR_ADDRESS" in os.environ:
+    if "COORDINATOR_ADDRESS" not in os.environ:
+        return  # single-host
+    last = None
+    for attempt in range(retries):
+        try:
             jax.distributed.initialize()
-    except Exception:
-        pass
+            return
+        except Exception as e:  # pragma: no cover - needs a real cluster
+            last = e
+            time.sleep(backoff_s * (2**attempt))
+    raise RuntimeError(
+        f"jax.distributed.initialize failed after {retries} attempts"
+    ) from last
