@@ -1,0 +1,113 @@
+"""TPU primitive-rate micro-benchmarks — the measurements the kernels are
+built on (README rate table; design rationale in ops/slab_spgemm.py).
+
+Every sparse-kernel design decision in this framework traces to these rates:
+batched minor-axis sorts and wide row gathers are fast; scatters, global
+sorts, scalar/window gathers, and take_along_axis are slow.  Run on the
+target chip to re-derive the table:
+
+    python benchmarks/primitives.py [--size 23]   # 2^size elements
+
+Measurements use device-side loops (utils/timing.py) because per-call host
+timing is meaningless through remote-device tunnels.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=23, help="log2 element count")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_spmm_tpu")
+    from spmm_tpu.utils.timing import measure_device_loop
+
+    E = 1 << args.size
+    rng = np.random.default_rng(0)
+    rows = []
+
+    def report(name, ms, elems=E):
+        rate = elems / (ms * 1e-3)
+        rows.append((name, ms, rate))
+        print(f"{name:<38} {ms:9.2f} ms   {rate/1e6:10.0f} M elem/s")
+
+    # --- batched minor-axis sort --------------------------------------------
+    for L in (16, 128, 512):
+        R = E // L
+        c2 = jnp.asarray(rng.integers(0, 1 << 20, (R, L)).astype(np.int32))
+        v2 = jnp.asarray(rng.standard_normal((R, L)).astype(np.float32))
+
+        def s(c, c2, v2):
+            cs, vs = jax.lax.sort((c2, v2 + c), dimension=1, num_keys=1)
+            return vs[:, 0].sum() + cs[:, 0].sum().astype(jnp.float32)
+
+        t = measure_device_loop(s, jnp.zeros(()), (c2, v2), name=f"bsort{L}", iters=3)
+        report(f"batched minor-axis sort L={L}", t.median_ms)
+
+    # --- global 1-D sort -----------------------------------------------------
+    k = jnp.asarray(rng.integers(0, 1 << 30, E).astype(np.int32))
+    p1 = jnp.asarray(rng.integers(0, 1 << 20, E).astype(np.int32))
+    p2 = jnp.asarray(rng.standard_normal(E).astype(np.float32))
+
+    def gs(c, k, p1, p2):
+        a, b, v = jax.lax.sort((k, p1, p2 + c), num_keys=1)
+        return v[-1] + a[-1].astype(jnp.float32)
+
+    t = measure_device_loop(gs, jnp.zeros(()), (k, p1, p2), name="gsort", iters=3)
+    report("global 1-D sort (1 key + 2 payloads)", t.median_ms)
+
+    # --- gathers by row width ------------------------------------------------
+    NTAB = 1 << 20
+    for W in (1, 4, 16, 128):
+        N = E // W
+        table = jnp.asarray(rng.standard_normal((NTAB, W)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, NTAB, N).astype(np.int32))
+
+        def g(c, table, idx):
+            return jnp.take(table, idx + c.astype(jnp.int32), axis=0).sum()
+
+        t = measure_device_loop(g, jnp.zeros(()), (table, idx), name=f"gW{W}", iters=3)
+        report(f"row gather width={W} ({N/1e6:.1f}M rows)", t.median_ms)
+
+    # --- scatter-add ----------------------------------------------------------
+    vals = jnp.asarray(rng.standard_normal(E).astype(np.float32))
+    seg = jnp.asarray(np.sort(rng.integers(0, E // 16, E)).astype(np.int32))
+
+    def sc(c, vals, seg):
+        s = jax.ops.segment_sum(vals + c, seg, num_segments=E // 16,
+                                indices_are_sorted=True)
+        return s[0]
+
+    t = measure_device_loop(sc, jnp.zeros(()), (vals, seg), name="scatter", iters=3)
+    report("scatter-add (segment_sum)", t.median_ms)
+
+    # --- take_along_axis -------------------------------------------------------
+    L = 128
+    R = E // L
+    v2 = jnp.asarray(rng.standard_normal((R, L)).astype(np.float32))
+    i2 = jnp.asarray(rng.integers(0, L, (R, L)).astype(np.int32))
+
+    def taa(c, i2, v2):
+        return jnp.take_along_axis(v2 + c, i2, axis=1)[:, 0].sum()
+
+    t = measure_device_loop(taa, jnp.zeros(()), (i2, v2), name="taa", iters=3)
+    report("take_along_axis (row-local gather)", t.median_ms)
+
+    # --- cumsum (the cheap primitive everything leans on) ----------------------
+    def cs(c, v2):
+        return jnp.cumsum(v2 + c, axis=1)[:, -1].sum()
+
+    t = measure_device_loop(cs, jnp.zeros(()), (v2,), name="cumsum", iters=3)
+    report("batched cumsum", t.median_ms)
+
+
+if __name__ == "__main__":
+    main()
