@@ -398,6 +398,75 @@ _numeric_chunk = jax.jit(
 )
 
 
+@functools.partial(jax.jit, static_argnames=("nrow", "nnz_pad"))
+def _compact_to_csr(chunk_rows, chunk_cols, chunk_vals, chunk_nuniq, *, nrow, nnz_pad):
+    """Slab-compressed chunk outputs -> device CSR arrays (data, indices,
+    indptr, nnz).  Uses only fast set-scatters (~6x cheaper than adds on
+    v5e): per-row counts scatter to build indptr, then each row's uniques
+    scatter to its indptr slot.  Enables chaining C into further device ops
+    without a host round-trip."""
+    counts = jnp.zeros((nrow,), jnp.int32)
+    for r, nu in zip(chunk_rows, chunk_nuniq):
+        counts = counts.at[r].max(nu, mode="drop")  # rows unique across chunks
+    indptr = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
+    data = jnp.zeros((nnz_pad,), chunk_vals[0].dtype)
+    indices = jnp.zeros((nnz_pad,), jnp.int32)
+    for r, cols_u, vals_u, nu in zip(chunk_rows, chunk_cols, chunk_vals, chunk_nuniq):
+        R_pad, L = cols_u.shape
+        base = indptr[r]  # (R_pad,)
+        pp = jax.lax.broadcasted_iota(jnp.int32, (R_pad, L), 1)
+        dest = base[:, None] + pp
+        dest = jnp.where(pp < nu[:, None], dest, nnz_pad)  # drop padding
+        data = data.at[dest.reshape(-1)].set(vals_u.reshape(-1), mode="drop")
+        indices = indices.at[dest.reshape(-1)].set(cols_u.reshape(-1), mode="drop")
+    return data, indices, indptr, indptr[-1]
+
+
+def spgemm_slab_csr(
+    A: CSR,
+    B: CSR,
+    *,
+    classes: Sequence[int] = DEFAULT_CLASSES,
+    seg_w: int = DEFAULT_SEG_W,
+    slot_budget: int = DEFAULT_SLOT_BUDGET,
+    accum_dtype=jnp.float32,
+    A_dev: CSR | None = None,
+    B_dev: CSR | None = None,
+    nnz_pad: int | None = None,
+):
+    """C = A @ B as a DEVICE-RESIDENT padded CSR — chainable into further
+    device ops (SpMM, another SpGEMM) without host transfers.  Requires no
+    heavy-tail rows (raise the class ceiling or use :func:`spgemm_slab`).
+    ``nnz_pad`` defaults to the padded-expansion bound (safe upper bound on
+    the output nnz); pass a tighter bound to save memory."""
+    outs, tail_rows, _ = spgemm_slab_device(
+        A, B, classes=classes, seg_w=seg_w, slot_budget=slot_budget,
+        accum_dtype=accum_dtype, A_dev=A_dev, B_dev=B_dev,
+    )
+    if len(tail_rows):
+        raise ValueError(
+            f"{len(tail_rows)} rows exceed the largest expansion class; "
+            "use spgemm_slab() (host fallback) or raise the class ceiling"
+        )
+    if nnz_pad is None:
+        # padded expansion bound: every output nnz is at least one partial
+        W = seg_w
+        npa, _, _, _ = _sizing(A, B, W, tuple(sorted({_round_up(c, W) for c in classes})))
+        nnz_pad = _round_up(npa * W, 1024)
+    data, indices, indptr, knnz = _compact_to_csr(
+        tuple(o[0] for o in outs),
+        tuple(o[1] for o in outs),
+        tuple(o[2] for o in outs),
+        tuple(o[3] for o in outs),
+        nrow=A.nrow,
+        nnz_pad=nnz_pad,
+    )
+    return CSR(
+        data=data, indices=indices, indptr=indptr,
+        shape=(A.nrow, B.ncol), nnz=int(knnz),
+    )
+
+
 def _chunk_schedule(classes, counts, slot_budget):
     """(L, R_pad, start, count) per numeric call from host-side class counts.
     R_pad rounds to 16K-row granules (not pow2) to bound slab padding; the

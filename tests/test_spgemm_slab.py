@@ -114,3 +114,26 @@ def test_prebuilt_plan_uses_its_own_budget():
     assert nnz_out + 0 == ref.nnz - sum(  # tail rows handled by caller
         ref.indptr[r + 1] - ref.indptr[r] for r in np.asarray(tails, np.int64)
     )
+
+
+def test_spgemm_slab_csr_device_chainable():
+    """Device-resident CSR output chains into SpMM without host transfers."""
+    import jax.numpy as jnp
+
+    from spmm_tpu.ops.slab_spgemm import spgemm_slab_csr
+    from spmm_tpu.ops import spmm_xla
+
+    A = webgraph_like(1200, 7200, seed=8)
+    C = spgemm_slab_csr(A, A)
+    ref = (A.to_scipy() @ A.to_scipy()).tocsr()
+    ref.sum_duplicates()
+    ref.sort_indices()
+    assert C.nnz == ref.nnz
+    Ch = C.host()
+    np.testing.assert_array_equal(np.asarray(Ch.indptr, np.int64), ref.indptr)
+    np.testing.assert_array_equal(np.asarray(Ch.indices[: C.nnz]), ref.indices)
+    np.testing.assert_allclose(np.asarray(Ch.data[: C.nnz]), ref.data, rtol=1e-4, atol=1e-4)
+    # chain: y = C @ x entirely on device
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1200, 4)).astype(np.float32))
+    y = np.asarray(spmm_xla(C, x))
+    np.testing.assert_allclose(y, ref @ np.asarray(x), rtol=2e-4, atol=2e-4)
