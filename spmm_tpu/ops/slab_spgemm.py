@@ -617,6 +617,24 @@ def spgemm_slab(
             nnz=0,
         )
         return to_csr(out) if as_csr else out
+    if as_csr:
+        # fast path: compact on device, transfer only the CSR arrays
+        # (~out_nnz * 8 B instead of the padded slabs)
+        try:
+            Cd = spgemm_slab_csr(
+                A, B, classes=classes, seg_w=seg_w, slot_budget=slot_budget,
+                accum_dtype=accum_dtype,
+            )
+            h = Cd.host()
+            return CSR(
+                data=np.asarray(h.data[: Cd.nnz]),
+                indices=np.asarray(h.indices[: Cd.nnz], np.int32),
+                indptr=np.asarray(h.indptr, np.int64),
+                shape=Cd.shape,
+                nnz=Cd.nnz,
+            )
+        except ValueError:
+            pass  # heavy-tail rows: fall through to the host-assembly path
     outs, tail_rows, _ = spgemm_slab_device(
         A, B, classes=classes, seg_w=seg_w, slot_budget=slot_budget, accum_dtype=accum_dtype
     )
