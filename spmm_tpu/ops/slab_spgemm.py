@@ -59,6 +59,11 @@ from spmm_tpu.formats.containers import COO, CSR, to_csr
 
 _INT_MAX = np.int32(np.iinfo(np.int32).max)
 
+#: row-chunking threshold: the device kernel's int32 cumsums require the
+#: padded expansion to stay below 2^31; spgemm_slab splits A's rows when a
+#: piece would exceed this (patchable in tests)
+_MAX_EXP_PAD = 2**31
+
 #: power-of-two padded-expansion classes; rows above the last use the fallback
 DEFAULT_CLASSES = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
@@ -214,6 +219,45 @@ def _plan_body(
     return b2_packed, pa_packed, pa_row_base, npa_row, rows_sorted
 
 
+class _ExpansionTooLarge(Exception):
+    """Internal: padded expansion exceeds the int32 device budget —
+    spgemm_slab responds by splitting A's rows."""
+
+
+def _row_slice(A: CSR, lo: int, hi: int) -> CSR:
+    """Contiguous row range [lo, hi) as a tight CSR view (no data copy for
+    the value/index arrays beyond the slice)."""
+    h = A.host()
+    indptr = np.asarray(h.indptr, dtype=np.int64)
+    p0, p1 = int(indptr[lo]), int(indptr[hi])
+    return CSR(
+        data=np.asarray(h.data)[p0:p1],
+        indices=np.asarray(h.indices, np.int32)[p0:p1],
+        indptr=indptr[lo : hi + 1] - p0,
+        shape=(hi - lo, A.shape[1]),
+        nnz=p1 - p0,
+    )
+
+
+def _concat_row_blocks(parts, shape) -> CSR:
+    """Stack CSRs of consecutive row ranges into one CSR."""
+    datas = [np.asarray(p.data[: p.nnz]) for p in parts]
+    inds = [np.asarray(p.indices[: p.nnz], np.int32) for p in parts]
+    iptrs = []
+    off = 0
+    for i, p in enumerate(parts):
+        ip = np.asarray(p.indptr, np.int64) + off
+        iptrs.append(ip if i == 0 else ip[1:])
+        off = int(ip[-1])
+    return CSR(
+        data=np.concatenate(datas),
+        indices=np.concatenate(inds),
+        indptr=np.concatenate(iptrs),
+        shape=shape,
+        nnz=off,
+    )
+
+
 def _sizing(A: CSR, B: CSR, W: int, classes):
     """O(nnz+nrow) sizing: (npa, nsegB, per-row class, counts).  Native C++
     single pass when available; vectorized numpy fallback."""
@@ -247,8 +291,8 @@ def _sizing(A: CSR, B: CSR, W: int, classes):
         for c in classes:
             cls += (exp_pad_row > c).astype(np.int32)
         cls[exp_pad_row == 0] = len(classes) + 1
-    if npa * W >= 2**31:
-        raise ValueError("padded expansion exceeds int32 range; chunk A first")
+    if npa * W >= _MAX_EXP_PAD:
+        raise _ExpansionTooLarge(npa * W)
     # fold small classes into the next one up: a tiny chunk costs a whole
     # dispatch; the padding increase is bounded by count * L_next
     counts = np.bincount(cls, minlength=len(classes) + 2)
@@ -617,6 +661,24 @@ def spgemm_slab(
             nnz=0,
         )
         return to_csr(out) if as_csr else out
+    # huge products: split A's rows so each piece's padded expansion fits
+    # the device kernel's int32 budget (the >=100M-nnz multi-host regime)
+    W = seg_w
+    try:
+        _sizing(A, B, W, tuple(sorted({_round_up(c, W) for c in classes})))
+    except _ExpansionTooLarge:
+        mid = A.nrow // 2
+        top = spgemm_slab(_row_slice(A, 0, mid), B, classes=classes, seg_w=seg_w,
+                          slot_budget=slot_budget, accum_dtype=accum_dtype)
+        bot = spgemm_slab(_row_slice(A, mid, A.nrow), B, classes=classes, seg_w=seg_w,
+                          slot_budget=slot_budget, accum_dtype=accum_dtype)
+        out = _concat_row_blocks([top, bot], (A.nrow, B.ncol))
+        if as_csr:
+            return out
+        from spmm_tpu.formats.containers import to_coo
+
+        return to_coo(out)
+
     if as_csr:
         # fast path: compact on device, transfer only the CSR arrays
         # (~out_nnz * 8 B instead of the padded slabs)

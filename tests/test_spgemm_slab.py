@@ -137,3 +137,19 @@ def test_spgemm_slab_csr_device_chainable():
     x = jnp.asarray(np.random.default_rng(0).standard_normal((1200, 4)).astype(np.float32))
     y = np.asarray(spmm_xla(C, x))
     np.testing.assert_allclose(y, ref @ np.asarray(x), rtol=2e-4, atol=2e-4)
+
+
+def test_huge_expansion_row_chunking(monkeypatch):
+    """Products whose padded expansion exceeds the int32 device budget split
+    A's rows automatically (exercised via a tiny patched threshold)."""
+    import spmm_tpu.ops.slab_spgemm as mod
+
+    monkeypatch.setattr(mod, "_MAX_EXP_PAD", 4096)
+    A = webgraph_like(1000, 6000, seed=14)
+    C = mod.spgemm_slab(A, A)
+    ref = (A.to_scipy() @ A.to_scipy()).tocsr()
+    ref.sum_duplicates()
+    ref.sort_indices()
+    assert C.nnz == ref.nnz
+    np.testing.assert_array_equal(np.asarray(C.indices[: C.nnz]), ref.indices)
+    np.testing.assert_allclose(np.asarray(C.data[: C.nnz]), ref.data, rtol=1e-4, atol=2e-4)
