@@ -183,6 +183,8 @@ def pack_blocked(
         _i32p(gather),
         _i64p(counts),
     )
+    if total < 0:  # element size the native kernel doesn't specialize
+        return None
     return packed, cols_local, gather[:total].copy(), counts[:nregions]
 
 

@@ -16,33 +16,47 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <cstring>
+
+// First-touch scans use a 1-bit-per-column bitset carved out of the caller's
+// int32 scratch (ncol*4 bytes >= ncol/8 bytes always).  The bitset for a
+// ~1M-column matrix is ~128 KB — L2-resident — where the int32 stamp array it
+// replaces is ~4 MB of random-access misses; clearing it per region is a
+// sequential memset, amortized O(ncol/64) per region.
+static inline uint64_t* bitset_of(int* scratch) {
+  return reinterpret_cast<uint64_t*>(scratch);
+}
+static inline long long bitset_words(long long ncol) { return (ncol + 63) >> 6; }
+static inline bool test_and_set(uint64_t* bits, long long c) {
+  uint64_t w = bits[c >> 6], m = 1ull << (c & 63);
+  if (w & m) return true;
+  bits[c >> 6] = w | m;
+  return false;
+}
 
 extern "C" {
 
 // Scan rows in order; close a region once the count of distinct columns since
 // the region began reaches `budget` (close AFTER the triggering row).
-// `stamp` is caller-provided scratch of size ncol (any contents).
+// `stamp` is caller-provided scratch of size ncol int32 (any contents).
 // Writes region row boundaries (excluding leading 0) to `bounds_out`;
 // returns the number of boundaries written (== number of regions).
 long long region_split(const long long* indptr, const int* cols, long long nrow,
                        long long ncol, long long budget, int* stamp,
                        long long* bounds_out) {
-  for (long long c = 0; c < ncol; ++c) stamp[c] = -1;
-  int region = 0;
+  uint64_t* bits = bitset_of(stamp);
+  const long long nw = bitset_words(ncol);
+  std::memset(bits, 0, nw * 8);
   long long nb = 0;
   long long distinct = 0;
   for (long long r = 0; r < nrow; ++r) {
     for (long long p = indptr[r]; p < indptr[r + 1]; ++p) {
-      int c = cols[p];
-      if (stamp[c] != region) {
-        stamp[c] = region;
-        ++distinct;
-      }
+      distinct += !test_and_set(bits, cols[p]);
     }
     if (distinct >= budget) {
       bounds_out[nb++] = r + 1;
-      ++region;
       distinct = 0;
+      std::memset(bits, 0, nw * 8);
     }
   }
   if (nb == 0 || bounds_out[nb - 1] != nrow) bounds_out[nb++] = nrow;
@@ -55,23 +69,25 @@ long long region_split_permuted(const long long* indptr, const int* cols,
                                 const long long* row_perm, long long nrow,
                                 long long ncol, long long budget, int* stamp,
                                 long long* bounds_out) {
-  for (long long c = 0; c < ncol; ++c) stamp[c] = -1;
-  int region = 0;
+  uint64_t* bits = bitset_of(stamp);
+  const long long nw = bitset_words(ncol);
+  std::memset(bits, 0, nw * 8);
   long long nb = 0;
   long long distinct = 0;
   for (long long r = 0; r < nrow; ++r) {
+    // two-stage software pipeline over the dependent loads: warm the
+    // indptr entry of the row 16 ahead, then the column segment of the row
+    // 8 ahead (whose indptr entry the previous stage already pulled in)
+    if (r + 16 < nrow) __builtin_prefetch(&indptr[row_perm[r + 16]]);
+    if (r + 8 < nrow) __builtin_prefetch(&cols[indptr[row_perm[r + 8]]]);
     long long orig = row_perm[r];
     for (long long p = indptr[orig]; p < indptr[orig + 1]; ++p) {
-      int c = cols[p];
-      if (stamp[c] != region) {
-        stamp[c] = region;
-        ++distinct;
-      }
+      distinct += !test_and_set(bits, cols[p]);
     }
     if (distinct >= budget) {
       bounds_out[nb++] = r + 1;
-      ++region;
       distinct = 0;
+      std::memset(bits, 0, nw * 8);
     }
   }
   if (nb == 0 || bounds_out[nb - 1] != nrow) bounds_out[nb++] = nrow;
@@ -92,15 +108,16 @@ long long relabel_first_touch(const int* cols, long long nnz,
                               long long ncol, int* map, int* mapstamp,
                               int* codes_out, int* gather_out,
                               long long* region_counts_out) {
-  for (long long c = 0; c < ncol; ++c) mapstamp[c] = -1;
+  uint64_t* bits = bitset_of(mapstamp);
+  const long long nw = bitset_words(ncol);
+  std::memset(bits, 0, nw * 8);
   long long total = 0;
   for (long long reg = 0; reg < nregions; ++reg) {
     long long lo = region_nnz[reg], hi = region_nnz[reg + 1];
     int next = 0;
     for (long long p = lo; p < hi; ++p) {
       int c = cols[p];
-      if (mapstamp[c] != (int)reg) {
-        mapstamp[c] = (int)reg;
+      if (!test_and_set(bits, c)) {
         map[c] = next;
         gather_out[total + next] = c;
         ++next;
@@ -109,6 +126,7 @@ long long relabel_first_touch(const int* cols, long long nnz,
     }
     region_counts_out[reg] = next;
     total += next;
+    if (reg + 1 < nregions) std::memset(bits, 0, nw * 8);
   }
   return total;
 }
@@ -129,15 +147,24 @@ long long relabel_first_touch(const int* cols, long long nnz,
 //  map/mapstamp (ncol)   int32   scratch
 // Outputs: packed data bytes, cols_local, gather_cols, region_counts.
 // Returns total distinct (region, col) slots.
-long long pack_blocked(const long long* indptr_orig, const int* indices,
-                       const char* data, long long esz, long long nrow,
-                       long long ncol, const long long* row_perm,
-                       const long long* indptr_final, const int* row_group,
-                       const long long* region_bounds, long long nregions,
-                       int* map, int* mapstamp, char* packed_data,
-                       int* cols_local, int* gather_out,
-                       long long* region_counts_out) {
-  for (long long c = 0; c < ncol; ++c) mapstamp[c] = -1;
+}  // extern "C"  (resumed below — the pack kernel is a template)
+
+// Value copies are specialized on the element size (T = byte/4-byte/8-byte
+// word; values are bit-copied, so only the width matters) — a runtime-esz
+// memcpy in the inner loop defeats vectorized codegen.  Per-group source
+// bases are hoisted out of the element loop (the reference recomputes the
+// row base per element, serial_newblock_clock.cpp:366-385).
+template <typename T>
+static long long pack_blocked_impl(
+    const long long* indptr_orig, const int* indices, const T* data,
+    long long nrow, long long ncol, const long long* row_perm,
+    const long long* indptr_final, const int* row_group,
+    const long long* region_bounds, long long nregions, int* map,
+    int* mapstamp, T* packed_data, int* cols_local, int* gather_out,
+    long long* region_counts_out) {
+  uint64_t* bits = bitset_of(mapstamp);
+  const long long nw = bitset_words(ncol);
+  std::memset(bits, 0, nw * 8);
   long long total = 0;
   long long r = 0;
   for (long long reg = 0; reg < nregions; ++reg) {
@@ -151,43 +178,97 @@ long long pack_blocked(const long long* indptr_orig, const int* indices,
         // Traversal is in SLOT order (element-major) so the first-touch
         // relabel order matches the packed stream, as the contract requires.
         long long L = indptr_final[r + 1] - indptr_final[r];
+        long long sb[8];
+        for (long long rr = 0; rr < 8; ++rr) sb[rr] = indptr_orig[row_perm[r + rr]];
+        // two-stage prefetch pipeline: row_perm is sequential, but
+        // indptr_orig[perm] and the source segments are random — warm the
+        // next group's 8 source streams and the group-after-next's indptr
+        for (long long rr = 0; rr < 8 && r + 16 + rr < nrow; ++rr)
+          __builtin_prefetch(&indptr_orig[row_perm[r + 16 + rr]]);
+        for (long long rr = 0; rr < 8 && r + 8 + rr < nrow; ++rr) {
+          long long s = indptr_orig[row_perm[r + 8 + rr]];
+          __builtin_prefetch(&indices[s]);
+          __builtin_prefetch(&data[s]);
+        }
+        T* pd = packed_data + base;
+        int* cl = cols_local + base;
         for (long long e = 0; e < L; ++e) {
           for (long long rr = 0; rr < 8; ++rr) {
-            long long src = indptr_orig[row_perm[r + rr]] + e;
-            long long dst = base + 8 * e + rr;
+            long long src = sb[rr] + e;
             int c = indices[src];
-            if (mapstamp[c] != (int)reg) {
-              mapstamp[c] = (int)reg;
+            if (!test_and_set(bits, c)) {
               map[c] = next;
               gather_out[total + next] = c;
               ++next;
             }
-            cols_local[dst] = map[c];
-            __builtin_memcpy(packed_data + dst * esz, data + src * esz, esz);
+            cl[8 * e + rr] = map[c];
+            pd[8 * e + rr] = data[src];
           }
         }
         r += 8;
       } else {
+        if (r + 16 < nrow) __builtin_prefetch(&indptr_orig[row_perm[r + 16]]);
+        if (r + 8 < nrow) {
+          long long s = indptr_orig[row_perm[r + 8]];
+          __builtin_prefetch(&indices[s]);
+          __builtin_prefetch(&data[s]);
+        }
         long long src0 = indptr_orig[row_perm[r]];
         long long L = indptr_final[r + 1] - indptr_final[r];
+        T* pd = packed_data + base;
+        int* cl = cols_local + base;
         for (long long e = 0; e < L; ++e) {
           int c = indices[src0 + e];
-          if (mapstamp[c] != (int)reg) {
-            mapstamp[c] = (int)reg;
+          if (!test_and_set(bits, c)) {
             map[c] = next;
             gather_out[total + next] = c;
             ++next;
           }
-          cols_local[base + e] = map[c];
-          __builtin_memcpy(packed_data + (base + e) * esz, data + (src0 + e) * esz, esz);
+          cl[e] = map[c];
+          pd[e] = data[src0 + e];
         }
         r += 1;
       }
     }
     region_counts_out[reg] = next;
     total += next;
+    if (reg + 1 < nregions) std::memset(bits, 0, nw * 8);
   }
   return total;
+}
+
+extern "C" {
+
+long long pack_blocked(const long long* indptr_orig, const int* indices,
+                       const char* data, long long esz, long long nrow,
+                       long long ncol, const long long* row_perm,
+                       const long long* indptr_final, const int* row_group,
+                       const long long* region_bounds, long long nregions,
+                       int* map, int* mapstamp, char* packed_data,
+                       int* cols_local, int* gather_out,
+                       long long* region_counts_out) {
+  switch (esz) {
+    case 4:
+      return pack_blocked_impl<uint32_t>(
+          indptr_orig, indices, reinterpret_cast<const uint32_t*>(data), nrow,
+          ncol, row_perm, indptr_final, row_group, region_bounds, nregions,
+          map, mapstamp, reinterpret_cast<uint32_t*>(packed_data), cols_local,
+          gather_out, region_counts_out);
+    case 8:
+      return pack_blocked_impl<uint64_t>(
+          indptr_orig, indices, reinterpret_cast<const uint64_t*>(data), nrow,
+          ncol, row_perm, indptr_final, row_group, region_bounds, nregions,
+          map, mapstamp, reinterpret_cast<uint64_t*>(packed_data), cols_local,
+          gather_out, region_counts_out);
+    case 2:
+      return pack_blocked_impl<uint16_t>(
+          indptr_orig, indices, reinterpret_cast<const uint16_t*>(data), nrow,
+          ncol, row_perm, indptr_final, row_group, region_bounds, nregions,
+          map, mapstamp, reinterpret_cast<uint16_t*>(packed_data), cols_local,
+          gather_out, region_counts_out);
+    default:
+      return -1;  // wrapper falls back to the numpy path
+  }
 }
 
 // Pass 3b — per-panel row sort by length + v8 grouping, one O(rows) pass.
@@ -349,11 +430,15 @@ void counting_argsort(const long long* keys, long long n, long long nkeys,
 // Assumes column indices sorted within each row (CSR canonical form).
 void dominant_sections(const long long* indptr, const int* cols, long long nrow,
                        long long sect_size, long long* dom_out) {
+  // sect_size is a power of two in every shipped config (reference SECT=2048,
+  // serial_newblock_clock.cpp:19) — a shift beats the per-nonzero division.
+  const bool pow2 = sect_size > 0 && (sect_size & (sect_size - 1)) == 0;
+  const int shift = pow2 ? __builtin_ctzll((unsigned long long)sect_size) : 0;
   for (long long r = 0; r < nrow; ++r) {
     long long best_cnt = 0, best_sect = -1;
     long long run_cnt = 0, run_sect = -1;
     for (long long p = indptr[r]; p < indptr[r + 1]; ++p) {
-      long long s = cols[p] / sect_size;
+      long long s = pow2 ? (cols[p] >> shift) : (cols[p] / sect_size);
       if (s == run_sect) {
         ++run_cnt;
       } else {

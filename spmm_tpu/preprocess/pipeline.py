@@ -161,11 +161,11 @@ def preprocess(A: CSR, config: Config | None = None) -> BlockedCSR:
         except Exception:
             res = None
     if res is not None:
+        # native outputs are already int32 — keep them (i32() below is a
+        # no-copy asarray for matching dtypes)
         packed_data, cols_local, gather_cols, counts = res
         region_gather = np.zeros(nregions + 1, dtype=np.int64)
         np.cumsum(counts, out=region_gather[1:])
-        cols_local = cols_local.astype(np.int64)
-        gather_cols = gather_cols.astype(np.int64)
     else:
         pos = np.arange(nnz, dtype=np.int64)
         row_of_pos = np.repeat(np.arange(nrow, dtype=np.int64), lens_final)
