@@ -48,7 +48,12 @@ def webgraph_like(
 
     dat = np.ones(total, dtype=dtype)
     coo = COO(row=row.astype(np.int32), col=col.astype(np.int32), data=dat, shape=(n, n), nnz=total)
-    return to_csr(coo, sort_within_row=True, sum_duplicates=True)
+    A = to_csr(coo, sort_within_row=True, sum_duplicates=True)
+    # real web graphs are simple (no multi-edges): duplicate synthetic edges
+    # collapse to a single unit entry, matching the reference ingest's
+    # forced-1.0 pattern semantics (serial_newblock_clock.cpp:84,96)
+    A.data[: A.nnz] = 1
+    return A
 
 
 def rmat_matrix(

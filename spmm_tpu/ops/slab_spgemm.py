@@ -69,9 +69,12 @@ DEFAULT_CLASSES = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
 #: B-segment width: row-gather granule.  Gather throughput on v5e is
 #: ~40-60 M ROWS/s regardless of width, so wider segments cost the same to
-#: fetch and amortize the per-row charge; 16 balances that against ceil-pad
-#: growth of the downstream (VPU-cheap) slab passes on short power-law rows.
-DEFAULT_SEG_W = 16
+#: fetch — but on power-law graphs most B rows are SHORT, so wide segments
+#: inflate the padded slab (every pass downstream pays per slot).  Measured
+#: on web-Google A×A: W=16 → 894 ms, W=8 → 802 ms, W=4 → 665 ms (padded
+#: slots 90M/53M/36M).  4 is the shipped default; long-row-dominated B
+#: matrices can pass a wider seg_w.
+DEFAULT_SEG_W = 4
 
 #: slab slot budget per numeric call (slots = R_pad * L).  Large on purpose:
 #: through the remote-device tunnel each dispatch costs ~50 ms + a fence
@@ -129,11 +132,15 @@ class SpgemmPlan:
     slot_budget: int = dataclasses.field(metadata=dict(static=True))
     a_dtype: str = dataclasses.field(metadata=dict(static=True))
     b_dtype: str = dataclasses.field(metadata=dict(static=True))
+    #: all values known to be 1.0 (the reference's forced-pattern semantics,
+    #: serial_newblock_clock.cpp:84,96): value channels are omitted from the
+    #: plan tables and partials are synthesized as 1 in the chunks
+    pattern: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
 
 def _plan_body(
     a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_of_row,
-    *, W, npa_pad, nsegB_pad, nrow, nrow_pad, nnz
+    *, W, npa_pad, nsegB_pad, nrow, nrow_pad, nnz, pattern=False
 ):
     from spmm_tpu.ops.segments import boundary_segments
 
@@ -161,13 +168,18 @@ def _plan_body(
     flat_cols = jnp.full((nsegB_pad * W,), _INT_MAX, jnp.int32).at[dest].set(
         b_ind, mode="drop"
     )
-    flat_vals = jnp.zeros((nsegB_pad * W,), b_dat.dtype).at[dest].set(b_dat, mode="drop")
     b2_cols = flat_cols.reshape(nsegB_pad, W)
-    b2_vals = flat_vals.reshape(nsegB_pad, W)
-    # interleave cols and value BITS into one table: row gathers charge per
-    # ROW on v5e, so one (1+nvb)W-wide gather replaces two W-wide ones
-    b2_vbits = jax.lax.bitcast_convert_type(b2_vals, jnp.int32).reshape(nsegB_pad, -1)
-    b2_packed = jnp.concatenate([b2_cols, b2_vbits], axis=1)
+    if pattern:
+        # all values are 1.0 — the columns ARE the table; chunks synthesize
+        # the value 1 from col != _INT_MAX
+        b2_packed = b2_cols
+    else:
+        flat_vals = jnp.zeros((nsegB_pad * W,), b_dat.dtype).at[dest].set(b_dat, mode="drop")
+        b2_vals = flat_vals.reshape(nsegB_pad, W)
+        # interleave cols and value BITS into one table: row gathers charge per
+        # ROW on v5e, so one (1+nvb)W-wide gather replaces two W-wide ones
+        b2_vbits = jax.lax.bitcast_convert_type(b2_vals, jnp.int32).reshape(nsegB_pad, -1)
+        b2_packed = jnp.concatenate([b2_cols, b2_vbits], axis=1)
 
     # --- pa enumeration (kept A-nonzero x B-segment) -------------------------
     # pa_b2row is a ramp (+1 per pa) with per-a rebasing to bseg_off[j]:
@@ -191,11 +203,6 @@ def _plan_body(
     pa_live = pa_idx < seg_off[-1]
 
     c_a = jnp.where(live_a, bg[:, 2] - seg_off[:-1], 0)
-    bits = jax.lax.bitcast_convert_type(a_dat, jnp.int32)
-    if bits.ndim == 1:  # fp32: one int32 channel; fp64: two
-        bits = bits[:, None]
-    nv = bits.shape[1]
-    v_a = jnp.where(live_a[:, None], bits, 0)
 
     def step_fn(chan):  # 1-D scatters: XLA handles them ~5x faster than a
         prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), chan[:-1]])  # wide payload
@@ -205,10 +212,19 @@ def _plan_body(
         return jnp.cumsum(d)[:npa_pad]
 
     pa_b2row = jnp.where(pa_live, step_fn(c_a) + pa_idx, nsegB_pad - 1)
-    vbits = jnp.stack(
-        [jnp.where(pa_live, step_fn(v_a[:, i]), 0) for i in range(nv)], axis=1
-    )
-    pa_packed = jnp.concatenate([pa_b2row[:, None], vbits], axis=1)
+    if pattern:
+        # A values are all 1.0 — no value channel, no per-channel step scatter
+        pa_packed = pa_b2row[:, None]
+    else:
+        bits = jax.lax.bitcast_convert_type(a_dat, jnp.int32)
+        if bits.ndim == 1:  # fp32: one int32 channel; fp64: two
+            bits = bits[:, None]
+        nv = bits.shape[1]
+        v_a = jnp.where(live_a[:, None], bits, 0)
+        vbits = jnp.stack(
+            [jnp.where(pa_live, step_fn(v_a[:, i]), 0) for i in range(nv)], axis=1
+        )
+        pa_packed = jnp.concatenate([pa_b2row[:, None], vbits], axis=1)
 
     pa_row_base = seg_off[a_indptr[:-1]]
     npa_row = seg_off[a_indptr[1:]] - pa_row_base
@@ -313,12 +329,16 @@ def spgemm_plan(
     slot_budget: int = DEFAULT_SLOT_BUDGET,
     A_dev: CSR | None = None,
     B_dev: CSR | None = None,
+    pattern: bool | None = None,
 ) -> SpgemmPlan:
     """Build the expansion layout.  Host side is O(nnz+nrow) (sizing + class
-    counts, native C++ when available); all O(E) work stays on device."""
+    counts, native C++ when available); all O(E) work stays on device.
+    ``pattern=None`` auto-detects all-ones values (value channels omitted)."""
     W = seg_w
     # padded expansions are multiples of W, so class bounds must be too
     classes = tuple(sorted({_round_up(c, W) for c in classes}))
+    if pattern is None:
+        pattern = _is_pattern(A) and _is_pattern(B)
     A_dev, B_dev = (A_dev or A), (B_dev or B)
     npa, nsegB, cls, counts = _sizing(A, B, W, classes)
 
@@ -340,6 +360,7 @@ def spgemm_plan(
         nrow=A.nrow,
         nrow_pad=nrow_pad,
         nnz=A.nnz,
+        pattern=pattern,
     )
     return SpgemmPlan(
         b2_packed=b2_packed,
@@ -355,6 +376,7 @@ def spgemm_plan(
         slot_budget=slot_budget,
         a_dtype=str(np.asarray(A.host().data).dtype),
         b_dtype=str(np.asarray(B.host().data).dtype),
+        pattern=pattern,
     )
 
 
@@ -378,12 +400,14 @@ def _chunk_body(
     a_dtype: str = "float32",
     b_dtype: str = "float32",
     accum_dtype=jnp.float32,
+    pattern: bool = False,
 ):
     """One (R_pad, L) slab chunk: gather each row's padded partials straight
     from the packed B2 table (one pa-table row gather + one B2 row gather —
     cols and value bits ride the same rows since gathers charge per row),
-    batched sort by column, scatter-free duplicate merge.  Returns
-    (rows, cols_u, vals_u, nuniq)."""
+    batched sort by column, scatter-free duplicate merge.  In ``pattern``
+    mode every partial's value is 1 (synthesized from column validity — the
+    tables carry no value channels).  Returns (rows, cols_u, vals_u, nuniq)."""
     nblk = L // W
     nva = pa_packed.shape[1] - 1
     ii = jnp.arange(R_pad, dtype=jnp.int32)
@@ -395,26 +419,33 @@ def _chunk_body(
     bi = jax.lax.broadcasted_iota(jnp.int32, (R_pad, nblk), 1)
     pa = jnp.clip(base[:, None] + bi, 0, pa_packed.shape[0] - 1)
     bm = bi < nb[:, None]  # mask blocks that belong to other rows / padding
-    pa_g = jnp.take(pa_packed, pa.reshape(-1), axis=0)  # (S, 1+nva)
-    b2r = pa_g[:, 0]
-    avbits = pa_g[:, 1:]
-    aval = jax.lax.bitcast_convert_type(
-        avbits if nva > 1 else avbits[:, 0], jnp.dtype(a_dtype)
-    )
-    g = jnp.take(b2_packed, b2r, axis=0)  # (S, (1+nvb)W) one row gather
-    col = g[:, :W]
-    S = g.shape[0]
-    nvb = (g.shape[1] - W) // W
-    vbits = g[:, W:]
-    val = jax.lax.bitcast_convert_type(
-        vbits.reshape(S, W, nvb) if nvb > 1 else vbits, jnp.dtype(b_dtype)
-    ).astype(accum_dtype)
-    val = val * aval[:, None].astype(accum_dtype)
-    val = jnp.where(col == _INT_MAX, 0, val)  # B2 row-tail padding
-    col = jnp.where(bm.reshape(-1)[:, None], col, _INT_MAX)
-    val = jnp.where(bm.reshape(-1)[:, None], val, 0)
-    col = col.reshape(R_pad, L)
-    val = val.reshape(R_pad, L)
+    if pattern:
+        # row-form gather (S,1): the 2-D row gather path sustains a higher
+        # rate than the 1-D scalar gather on v5e (README rate table)
+        b2r = jnp.take(pa_packed, pa.reshape(-1), axis=0)[:, 0]
+        col = jnp.take(b2_packed, b2r, axis=0)  # (S, W), no value channels
+        valid = bm.reshape(-1)[:, None] & (col != _INT_MAX)
+        col = jnp.where(valid, col, _INT_MAX).reshape(R_pad, L)
+        val = valid.astype(accum_dtype).reshape(R_pad, L)
+    else:
+        pa_g = jnp.take(pa_packed, pa.reshape(-1), axis=0)  # (S, 1+nva)
+        b2r = pa_g[:, 0]
+        avbits = pa_g[:, 1:]
+        aval = jax.lax.bitcast_convert_type(
+            avbits if nva > 1 else avbits[:, 0], jnp.dtype(a_dtype)
+        )
+        g = jnp.take(b2_packed, b2r, axis=0)  # (S, (1+nvb)W) one row gather
+        col = g[:, :W]
+        S = g.shape[0]
+        nvb = (g.shape[1] - W) // W
+        vbits = g[:, W:]
+        val = jax.lax.bitcast_convert_type(
+            vbits.reshape(S, W, nvb) if nvb > 1 else vbits, jnp.dtype(b_dtype)
+        ).astype(accum_dtype)
+        val = val * aval[:, None].astype(accum_dtype)
+        valid = bm.reshape(-1)[:, None] & (col != _INT_MAX)  # other rows / B2 row tail
+        col = jnp.where(valid, col, _INT_MAX).reshape(R_pad, L)
+        val = jnp.where(valid, val, 0).reshape(R_pad, L)
 
     # batched per-row sort by column (pads sort to the end)
     col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
@@ -435,11 +466,20 @@ def _chunk_body(
 
 # jitted single-phase entry points (tests / incremental use)
 _plan_device = jax.jit(
-    _plan_body, static_argnames=("W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "nnz")
+    _plan_body,
+    static_argnames=("W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "nnz", "pattern"),
 )
 _numeric_chunk = jax.jit(
-    _chunk_body, static_argnames=("L", "R_pad", "W", "a_dtype", "b_dtype", "accum_dtype")
+    _chunk_body,
+    static_argnames=("L", "R_pad", "W", "a_dtype", "b_dtype", "accum_dtype", "pattern"),
 )
+
+
+def _is_pattern(M: CSR) -> bool:
+    """True when every stored value is exactly 1.0 — the reference's forced
+    semantics (serial_newblock_clock.cpp:84,96).  O(nnz) host check, ~ms."""
+    d = np.asarray(M.host().data)
+    return bool(np.all(d[: M.nnz] == 1))
 
 
 @functools.partial(jax.jit, static_argnames=("nrow", "nnz_pad"))
@@ -531,26 +571,29 @@ def _chunk_schedule(classes, counts, slot_budget):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "nnz", "schedule", "accum_dtype"
+        "W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "nnz", "schedule",
+        "accum_dtype", "pattern",
     ),
 )
 def _fused_exec(
     a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_of_row,
-    *, W, npa_pad, nsegB_pad, nrow, nrow_pad, nnz, schedule, accum_dtype
+    *, W, npa_pad, nsegB_pad, nrow, nrow_pad, nnz, schedule, accum_dtype,
+    pattern=False,
 ):
     """plan + every class chunk in ONE compiled program — a single dispatch
     (the remote-device tunnel charges ~50 ms per dispatch plus a fence
     round-trip, so one program beats ten)."""
     (b2_packed, pa_packed, pa_row_base, npa_row, rows_sorted) = _plan_body(
         a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_of_row,
-        W=W, npa_pad=npa_pad, nsegB_pad=nsegB_pad, nrow=nrow, nrow_pad=nrow_pad, nnz=nnz,
+        W=W, npa_pad=npa_pad, nsegB_pad=nsegB_pad, nrow=nrow, nrow_pad=nrow_pad,
+        nnz=nnz, pattern=pattern,
     )
     a_dt, b_dt = str(a_dat.dtype), str(b_dat.dtype)
     outs = tuple(
         _chunk_body(
             b2_packed, pa_packed, rows_sorted, pa_row_base, npa_row,
             jnp.int32(start), jnp.int32(cnt), L=L, R_pad=R_pad, W=W,
-            a_dtype=a_dt, b_dtype=b_dt, accum_dtype=accum_dtype,
+            a_dtype=a_dt, b_dtype=b_dt, accum_dtype=accum_dtype, pattern=pattern,
         )
         for (L, R_pad, start, cnt) in schedule
     )
@@ -568,6 +611,7 @@ def spgemm_slab_device(
     accum_dtype=jnp.float32,
     A_dev: CSR | None = None,
     B_dev: CSR | None = None,
+    pattern: bool | None = None,
 ):
     """Device-resident SpGEMM: returns (chunk outputs, tail row ids, plan).
     Chunk outputs are device arrays (rows, cols_u, vals_u, nuniq) per call —
@@ -575,7 +619,9 @@ def spgemm_slab_device(
 
     Without a pre-built plan this runs the FUSED path: one compiled program
     covering plan + stream + every class chunk (single dispatch).  With a
-    plan, the phases run as separate dispatches (incremental / test use)."""
+    plan, the phases run as separate dispatches (incremental / test use).
+    ``pattern=None`` auto-detects all-ones values (reference semantics) and
+    drops the value channels from the device program."""
     if plan is not None:
         sched, tail_start = _chunk_schedule(
             plan.classes, plan.class_counts, plan.slot_budget
@@ -597,6 +643,7 @@ def spgemm_slab_device(
                     a_dtype=plan.a_dtype,
                     b_dtype=plan.b_dtype,
                     accum_dtype=accum_dtype,
+                    pattern=plan.pattern,
                 )
             )
         ntail = int(plan.class_counts[len(plan.classes)])
@@ -610,6 +657,8 @@ def spgemm_slab_device(
     # ---- fused single-dispatch path ---------------------------------------
     W = seg_w
     classes = tuple(sorted({_round_up(c, W) for c in classes}))
+    if pattern is None:
+        pattern = _is_pattern(A) and _is_pattern(B)
     A_dev, B_dev = (A_dev or A), (B_dev or B)
     npa, nsegB, cls, counts = _sizing(A, B, W, classes)
     sched, tail_start = _chunk_schedule(classes, counts, slot_budget)
@@ -630,6 +679,7 @@ def spgemm_slab_device(
         nnz=A.nnz,
         schedule=tuple(sched),
         accum_dtype=accum_dtype,
+        pattern=pattern,
     )
     ntail = int(counts[len(classes)])
     tail_rows = (
