@@ -389,16 +389,27 @@ long long spgemm_sizing(const long long* a_indptr, const int* a_ind,
                         long long nrowB, long long W,
                         const long long* classes, long long nclasses,
                         int* cls_out, long long* nsegB_out) {
+  // Per-B-row segment counts as a compact uint16 table: the per-a-nonzero
+  // random access then touches 2 bytes in an L2-scale table instead of two
+  // 8-byte indptr entries in an 8*nrowB one.  Counts >= 65535 (B rows with
+  // > ~65534*W nonzeros) fall back to the exact indptr computation.
+  uint16_t* nseg16 = new uint16_t[nrowB];
   long long nsegB = 0;
-  for (long long j = 0; j < nrowB; ++j)
-    nsegB += (b_indptr[j + 1] - b_indptr[j] + W - 1) / W;
+  for (long long j = 0; j < nrowB; ++j) {
+    long long s = (b_indptr[j + 1] - b_indptr[j] + W - 1) / W;
+    nsegB += s;
+    nseg16[j] = s < 65535 ? (uint16_t)s : (uint16_t)65535;
+  }
   *nsegB_out = nsegB;
   long long npa = 0;
   for (long long r = 0; r < nrowA; ++r) {
     long long pa = 0;
     for (long long p = a_indptr[r]; p < a_indptr[r + 1]; ++p) {
+      __builtin_prefetch(&nseg16[a_ind[p + 32 < a_indptr[nrowA] ? p + 32 : p]]);
       long long j = a_ind[p];
-      pa += (b_indptr[j + 1] - b_indptr[j] + W - 1) / W;
+      long long s = nseg16[j];
+      if (s == 65535) s = (b_indptr[j + 1] - b_indptr[j] + W - 1) / W;
+      pa += s;
     }
     npa += pa;
     long long exp_pad = W * pa;
@@ -410,6 +421,7 @@ long long spgemm_sizing(const long long* a_indptr, const int* a_ind,
       cls_out[r] = (int)c;
     }
   }
+  delete[] nseg16;
   return npa;
 }
 

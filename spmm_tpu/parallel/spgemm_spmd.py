@@ -128,6 +128,7 @@ def spgemm_dist_spmd(
     slot_budget: int = DEFAULT_SLOT_BUDGET,
     accum_dtype=jnp.float32,
     as_csr: bool = True,
+    pattern: bool | None = None,
 ):
     """C = A @ B with A row-sharded over ``mesh[axis]``.  One SPMD program;
     all shards execute the identical slab-ESC kernel on their row block.
@@ -136,11 +137,21 @@ def spgemm_dist_spmd(
     per-shard host fallback during assembly.  With ``as_csr=False`` the raw
     device outputs are returned as ``(rows_sorted, chunk_outputs,
     tail_rows_per_shard)`` — the caller owns the tail rows (their products
-    are NOT in the chunk outputs).
+    are NOT in the chunk outputs).  ``pattern=None`` auto-detects all-ones
+    values (reference forced-1.0 semantics) and drops the value channels
+    from the device program, as in ops/slab_spgemm.py.
     """
     W = seg_w
     classes = tuple(sorted({_round_up(c, W) for c in classes}))
     nsh = S.n_shards
+    if pattern is None:
+        from spmm_tpu.ops.slab_spgemm import _is_pattern
+
+        sdat = np.asarray(S.data)
+        siptr = np.asarray(S.indptr, np.int64)
+        pattern = _is_pattern(B) and all(
+            bool(np.all(sdat[s, : int(siptr[s, -1])] == 1)) for s in range(nsh)
+        )
     cls, counts, npa_max, nnz_s = _per_shard_sizing(S, B, W, classes)
     sched, starts, cnts, _ = _uniform_schedule(counts=counts[:, : len(classes) + 1],
                                                classes=classes, slot_budget=slot_budget)
@@ -176,7 +187,8 @@ def spgemm_dist_spmd(
         indptr, ind, dat = indptr[0], ind[0], dat[0]
         cls_s, nnz_sc, sc_tab = cls_s[0], nnz_sc[0], sc_tab[0]
         (b2p, pap, prb, npr, rows_sorted) = _plan_body(
-            indptr, ind, dat, b_indptr, b_ind, b_dat, cls_s, nnz=nnz_sc[0], **kw
+            indptr, ind, dat, b_indptr, b_ind, b_dat, cls_s, nnz=nnz_sc[0],
+            pattern=pattern, **kw
         )
         a_dt, b_dt = str(dat.dtype), str(b_dat.dtype)
         outs = []
@@ -186,6 +198,7 @@ def spgemm_dist_spmd(
                     b2p, pap, rows_sorted, prb, npr,
                     sc_tab[0, i], sc_tab[1, i], L=L, R_pad=R_pad, W=W,
                     a_dtype=a_dt, b_dtype=b_dt, accum_dtype=accum_dtype,
+                    pattern=pattern,
                 )
             )
         # re-add the leading shard axis for out_specs
