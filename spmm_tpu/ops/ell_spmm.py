@@ -21,13 +21,16 @@ def ell_spmm(E: ELL, B: jax.Array, *, accum_dtype=jnp.float32, permute_back: boo
     """Y[m, k] = A @ B for A in ELL form."""
     k = B.shape[-1]
     if k < 128:
-        # gathers charge per ROW on TPU and narrow outputs pick lane-padded
-        # layouts (measured: k=32 runs 2.4x SLOWER than k=128 on the same
-        # matrix) — widen to the 128-lane tile and slice the result
-        Bp = jnp.concatenate([B, jnp.zeros((B.shape[0], 128 - k), B.dtype)], axis=1)
-        return ell_spmm(
-            E, Bp, accum_dtype=accum_dtype, permute_back=permute_back
-        )[:, :k]
+        # narrow RHS: gathers charge per ROW and narrow lanes pick padded
+        # layouts.  Measured at web-Google scale, k=32: native-width gathers
+        # 120 ms, widen-B-to-128 93 ms, reshape-select (below) 58 ms.
+        kp = k if 128 % k == 0 else _next_pow2(k)
+        if kp != k:
+            Bp = jnp.concatenate([B, jnp.zeros((B.shape[0], kp - k), B.dtype)], axis=1)
+            return ell_spmm(
+                E, Bp, accum_dtype=accum_dtype, permute_back=permute_back
+            )[:, :k]
+        return _ell_spmm_narrow(E, B, accum_dtype=accum_dtype, permute_back=permute_back)
     parts = [jnp.zeros((E.n_empty, k), accum_dtype)]
     for slab_d, slab_c in zip(E.data, E.cols):
         R, L = slab_d.shape
@@ -49,6 +52,55 @@ def ell_spmm(E: ELL, B: jax.Array, *, accum_dtype=jnp.float32, permute_back: boo
                 gathered.astype(accum_dtype),
                 precision=jax.lax.Precision.HIGHEST,
             )
+        parts.append(y)
+    if E.n_rest_rows:
+        from spmm_tpu.ops.spmm import spmm_xla
+
+        parts.append(spmm_xla(E.rest, B, accum_dtype=accum_dtype)[: E.n_rest_rows])
+    y_sorted = jnp.concatenate(parts, axis=0)
+    if not permute_back:
+        return y_sorted
+    return jnp.take(y_sorted, jnp.asarray(E.inv_perm), axis=0)
+
+
+def _next_pow2(k: int) -> int:
+    p = 1
+    while p < k:
+        p <<= 1
+    return p
+
+
+def _ell_spmm_narrow(E: ELL, B: jax.Array, *, accum_dtype, permute_back):
+    """k | 128 narrow-RHS path: fold G = 128//k consecutive B rows into one
+    128-lane row, gather at full lane width, then pick the k-lane group with
+    a one-hot contraction.  Same gather-row count as the wide path but no
+    (m, 128) widen/slice round-trip of B and Y through HBM.  The one-hot
+    pick runs at HIGHEST precision so f32 values pass through exactly."""
+    k = B.shape[-1]
+    G = 128 // k
+    mb = B.shape[0]
+    pad = (-mb) % G
+    B4 = B if pad == 0 else jnp.concatenate([B, jnp.zeros((pad, k), B.dtype)])
+    B4 = B4.reshape((mb + pad) // G, 128)
+    eye = jnp.eye(G, dtype=accum_dtype)
+    hi = jax.lax.Precision.HIGHEST
+    parts = [jnp.zeros((E.n_empty, k), accum_dtype)]
+    for slab_d, slab_c in zip(E.data, E.cols):
+        R, L = slab_d.shape
+        if L <= 8:
+            y = jnp.zeros((R, k), accum_dtype)
+            for e in range(L):
+                c = slab_c[:, e]
+                g = jnp.take(B4, c // G, axis=0).astype(accum_dtype).reshape(R, G, k)
+                sel = jnp.take(eye, c % G, axis=0)
+                picked = jnp.einsum("rg,rgk->rk", sel, g, precision=hi)
+                y = y + slab_d[:, e : e + 1].astype(accum_dtype) * picked
+        else:
+            c = slab_c.reshape(-1)
+            g = jnp.take(B4, c // G, axis=0).astype(accum_dtype).reshape(R * L, G, k)
+            sel = jnp.take(eye, c % G, axis=0)
+            picked = jnp.einsum("sg,sgk->sk", sel, g, precision=hi).reshape(R, L, k)
+            y = jnp.einsum("rl,rlk->rk", slab_d.astype(accum_dtype), picked, precision=hi)
         parts.append(y)
     if E.n_rest_rows:
         from spmm_tpu.ops.spmm import spmm_xla

@@ -98,7 +98,8 @@ def test_ell_spmm_long_rows_and_narrow_k():
     assert lens.max() > 64, "fixture must exercise the einsum slab path"
     E = ell_pack(A).device()
     S = A.to_scipy().astype(np.float64)
-    for k in (8, 32, 128):
+    # 8/32: reshape-select narrow path; 20: pad-to-pow2 then narrow; 128: wide
+    for k in (8, 20, 32, 128):
         B = np.random.default_rng(k).standard_normal((4000, k)).astype(np.float32)
         Y = np.asarray(ell_spmm(E, jnp.asarray(B)))
         ref = S @ B.astype(np.float64)
