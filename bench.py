@@ -144,6 +144,18 @@ def bench_kernels(A, P, k, chip):
         extras["bsr_spmm_k128_gflops"] = round(fl / (t.median_ms * 1e-3) / 1e9, 1)
         extras["bsr_nblocks"] = int(Bs.nblocks)
         log(t)
+
+        # BASELINE config 4: block-compressed SpMV
+        from spmm_tpu.ops.pallas_bsr import bsr_spmv
+
+        xb = Bd[:, 0]
+        t = measure_device_loop(
+            lambda c, Bs: norm(bsr_spmv(Bs, c)), xb, (Bs,), name="bsr_spmv", iters=8
+        )
+        flv = 2.0 * Bs.nblocks * 8 * 128
+        extras["bsr_spmv_ms"] = round(t.median_ms, 3)
+        extras["bsr_spmv_gflops"] = round(flv / (t.median_ms * 1e-3) / 1e9, 1)
+        log(t)
     except Exception as e:
         log("bsr bench failed:", repr(e))
         extras["bsr_error"] = repr(e)[:200]

@@ -80,6 +80,33 @@ def bsr_spmm_pallas(A: BSR, B: jax.Array, *, k_tile: int = 128, interpret: bool 
     return out[:m]
 
 
+def bsr_spmv(A: BSR, x: jax.Array, *, accum_dtype=None) -> jax.Array:
+    """y[m] = A_bsr @ x[n] (BASELINE config 4: block-compressed SpMV).
+
+    One aligned (nblocks, bn) row gather of x tiles + per-block dense
+    matvecs on the VPU + a block-row segment sum — the BSR recast of the
+    dense-block partial-product contract (SURVEY.md §3.3).  fp64 inputs
+    accumulate in fp64 (CPU/x64 parity tests); fp32 in fp32."""
+    bm, bn = A.block_shape
+    m, n = A.shape
+    n_pad = (n + bn - 1) // bn * bn
+    if x.shape[0] != n_pad:
+        x = jnp.concatenate([x, jnp.zeros((n_pad - x.shape[0],), x.dtype)])
+    acc = accum_dtype or jnp.result_type(jnp.asarray(A.data).dtype, jnp.float32)
+    xt = x.reshape(n_pad // bn, bn)
+    gx = jnp.take(xt, jnp.asarray(A.block_cols), axis=0)  # (nblocks, bn)
+    prods = jnp.einsum(
+        "bij,bj->bi",
+        jnp.asarray(A.data).astype(acc),
+        gx.astype(acc),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    y = jax.ops.segment_sum(
+        prods, jnp.asarray(A.block_rows), num_segments=A.nbrows, indices_are_sorted=True
+    )
+    return y.reshape(A.nbrows * bm)[:m]
+
+
 def bsr_spmm_xla(A: BSR, B: jax.Array) -> jax.Array:
     """XLA reference implementation (oracle for the Pallas kernel)."""
     bm, bn = A.block_shape

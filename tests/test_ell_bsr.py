@@ -104,3 +104,30 @@ def test_ell_spmm_long_rows_and_narrow_k():
         Y = np.asarray(ell_spmm(E, jnp.asarray(B)))
         ref = S @ B.astype(np.float64)
         np.testing.assert_allclose(Y, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_bsr_spmv_fp32_fp64_parity():
+    """BASELINE config 4: block-compressed SpMV, fp32/fp64 tolerance parity."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from spmm_tpu.formats.bsr import csr_to_bsr
+    from spmm_tpu.formats.synthetic import banded_random
+    from spmm_tpu.ops.pallas_bsr import bsr_spmv
+
+    A = banded_random(600, 96, 0.35, seed=11)
+    S64 = A.to_scipy().astype(np.float64)
+    x = np.random.default_rng(5).standard_normal(600)
+
+    Bs32 = csr_to_bsr(A, (8, 128)).device()
+    y32 = np.asarray(bsr_spmv(Bs32, jnp.asarray(x.astype(np.float32))))
+    np.testing.assert_allclose(y32, S64 @ x, rtol=1e-4, atol=1e-4)
+
+    import dataclasses
+    import jax
+
+    if jax.config.read("jax_enable_x64"):
+        A64 = dataclasses.replace(A, data=np.asarray(A.data, np.float64))
+        Bs64 = csr_to_bsr(A64, (8, 128))
+        y64 = np.asarray(bsr_spmv(Bs64, jnp.asarray(x)))
+        np.testing.assert_allclose(y64, S64 @ x, rtol=1e-12, atol=1e-12)
