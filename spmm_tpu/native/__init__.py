@@ -84,7 +84,7 @@ def region_split(indptr: np.ndarray, cols: np.ndarray, ncol: int, budget: int):
     indptr = np.ascontiguousarray(indptr, dtype=np.int64)
     cols = np.ascontiguousarray(cols, dtype=np.int32)
     nrow = len(indptr) - 1
-    stamp = np.empty(max(ncol, 1), dtype=np.int32)
+    stamp = np.empty(max(ncol, 16), dtype=np.int32)  # >= one bitset word
     bounds = np.empty(nrow + 1, dtype=np.int64)
     nb = lib.region_split(_i64p(indptr), _i32p(cols), nrow, ncol, budget, _i32p(stamp), _i64p(bounds))
     return np.concatenate([[0], bounds[:nb]]).astype(np.int64)
@@ -102,7 +102,7 @@ def region_split_permuted(
     cols = np.ascontiguousarray(cols, dtype=np.int32)
     row_perm = np.ascontiguousarray(row_perm, dtype=np.int64)
     nrow = len(indptr) - 1
-    stamp = np.empty(max(ncol, 1), dtype=np.int32)
+    stamp = np.empty(max(ncol, 16), dtype=np.int32)  # >= one bitset word
     bounds = np.empty(nrow + 1, dtype=np.int64)
     nb = lib.region_split_permuted(
         _i64p(indptr), _i32p(cols), _i64p(row_perm), nrow, ncol, budget, _i32p(stamp), _i64p(bounds)
@@ -120,8 +120,8 @@ def relabel_first_touch(cols: np.ndarray, region_nnz: np.ndarray, ncol: int):
     region_nnz = np.ascontiguousarray(region_nnz, dtype=np.int64)
     nnz = len(cols)
     nregions = len(region_nnz) - 1
-    scratch_map = np.empty(max(ncol, 1), dtype=np.int32)
-    scratch_stamp = np.empty(max(ncol, 1), dtype=np.int32)
+    scratch_map = np.empty(max(ncol, 16), dtype=np.int32)
+    scratch_stamp = np.empty(max(ncol, 16), dtype=np.int32)  # >= one bitset word
     codes = np.empty(nnz, dtype=np.int32)
     gather = np.empty(max(nnz, 1), dtype=np.int32)
     counts = np.empty(max(nregions, 1), dtype=np.int64)
@@ -158,8 +158,8 @@ def pack_blocked(
     nregions = len(region_bounds) - 1
     nnz = int(indptr_final[-1])
     esz = data.dtype.itemsize
-    scratch_map = np.empty(max(ncol, 1), dtype=np.int32)
-    scratch_stamp = np.empty(max(ncol, 1), dtype=np.int32)
+    scratch_map = np.empty(max(ncol, 16), dtype=np.int32)
+    scratch_stamp = np.empty(max(ncol, 16), dtype=np.int32)  # >= one bitset word
     packed = np.empty(nnz, dtype=data.dtype)
     cols_local = np.empty(nnz, dtype=np.int32)
     gather = np.empty(max(nnz, 1), dtype=np.int32)

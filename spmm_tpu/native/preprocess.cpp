@@ -266,6 +266,20 @@ long long pack_blocked(const long long* indptr_orig, const int* indices,
           ncol, row_perm, indptr_final, row_group, region_bounds, nregions,
           map, mapstamp, reinterpret_cast<uint16_t*>(packed_data), cols_local,
           gather_out, region_counts_out);
+    case 1:
+      return pack_blocked_impl<uint8_t>(
+          indptr_orig, indices, reinterpret_cast<const uint8_t*>(data), nrow,
+          ncol, row_perm, indptr_final, row_group, region_bounds, nregions,
+          map, mapstamp, reinterpret_cast<uint8_t*>(packed_data), cols_local,
+          gather_out, region_counts_out);
+    case 16: {  // complex128 / 16-byte PODs
+      struct W16 { uint64_t a, b; };
+      return pack_blocked_impl<W16>(
+          indptr_orig, indices, reinterpret_cast<const W16*>(data), nrow,
+          ncol, row_perm, indptr_final, row_group, region_bounds, nregions,
+          map, mapstamp, reinterpret_cast<W16*>(packed_data), cols_local,
+          gather_out, region_counts_out);
+    }
     default:
       return -1;  // wrapper falls back to the numpy path
   }

@@ -17,6 +17,44 @@ import jax.numpy as jnp
 from spmm_tpu.formats.ell import ELL
 
 
+def _next_pow2(k: int) -> int:
+    p = 1
+    while p < k:
+        p <<= 1
+    return p
+
+
+def _slab_loop(E: ELL, B, pick, k, accum_dtype, permute_back):
+    """Shared ELL-SpMM scaffolding: per-slab accumulate with ``pick(cols) ->
+    (n, k) picked B rows``, leftover-CSR fallback, concatenate, un-permute."""
+    hi = jax.lax.Precision.HIGHEST
+    parts = [jnp.zeros((E.n_empty, k), accum_dtype)]
+    for slab_d, slab_c in zip(E.data, E.cols):
+        R, L = slab_d.shape
+        if L <= 8:
+            # unrolled accumulate: each pick fuses into the multiply-add, no
+            # (R, L, k) intermediate in HBM
+            y = jnp.zeros((R, k), accum_dtype)
+            for e in range(L):
+                y = y + slab_d[:, e : e + 1].astype(accum_dtype) * pick(slab_c[:, e])
+        else:
+            picked = pick(slab_c.reshape(-1)).reshape(R, L, k)
+            # TPU einsum defaults to bf16 MXU passes (~1e-3 relative error on
+            # long rows); the kernel is gather-bound, so full f32 is free
+            y = jnp.einsum(
+                "rl,rlk->rk", slab_d.astype(accum_dtype), picked, precision=hi
+            )
+        parts.append(y)
+    if E.n_rest_rows:
+        from spmm_tpu.ops.spmm import spmm_xla
+
+        parts.append(spmm_xla(E.rest, B, accum_dtype=accum_dtype)[: E.n_rest_rows])
+    y_sorted = jnp.concatenate(parts, axis=0)
+    if not permute_back:
+        return y_sorted
+    return jnp.take(y_sorted, jnp.asarray(E.inv_perm), axis=0)
+
+
 def ell_spmm(E: ELL, B: jax.Array, *, accum_dtype=jnp.float32, permute_back: bool = True):
     """Y[m, k] = A @ B for A in ELL form."""
     k = B.shape[-1]
@@ -30,86 +68,30 @@ def ell_spmm(E: ELL, B: jax.Array, *, accum_dtype=jnp.float32, permute_back: boo
             return ell_spmm(
                 E, Bp, accum_dtype=accum_dtype, permute_back=permute_back
             )[:, :k]
-        return _ell_spmm_narrow(E, B, accum_dtype=accum_dtype, permute_back=permute_back)
-    parts = [jnp.zeros((E.n_empty, k), accum_dtype)]
-    for slab_d, slab_c in zip(E.data, E.cols):
-        R, L = slab_d.shape
-        if L <= 8:
-            # unrolled accumulate: each take fuses into the multiply-add, no
-            # (R, L, k) intermediate in HBM
-            y = jnp.zeros((R, k), accum_dtype)
-            for e in range(L):
-                y = y + slab_d[:, e : e + 1].astype(accum_dtype) * jnp.take(
-                    B, slab_c[:, e], axis=0
-                ).astype(accum_dtype)
-        else:
-            gathered = jnp.take(B, slab_c.reshape(-1), axis=0).reshape(R, L, k)
-            # TPU einsum defaults to bf16 MXU passes (~1e-3 relative error on
-            # long rows); the kernel is gather-bound, so full f32 is free
-            y = jnp.einsum(
-                "rl,rlk->rk",
-                slab_d.astype(accum_dtype),
-                gathered.astype(accum_dtype),
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        parts.append(y)
-    if E.n_rest_rows:
-        from spmm_tpu.ops.spmm import spmm_xla
+        # fold G = 128//k consecutive B rows into one 128-lane row, gather at
+        # full lane width, then pick the k-lane group with a one-hot
+        # contraction (HIGHEST precision: f32 values pass through exactly).
+        # Same gather-row count as the wide path but no (m, 128) widen/slice
+        # round-trip of B and Y through HBM.
+        G = 128 // k
+        mb = B.shape[0]
+        pad = (-mb) % G
+        B4 = B if pad == 0 else jnp.concatenate([B, jnp.zeros((pad, k), B.dtype)])
+        B4 = B4.reshape((mb + pad) // G, 128)
+        eye = jnp.eye(G, dtype=accum_dtype)
+        hi = jax.lax.Precision.HIGHEST
 
-        parts.append(spmm_xla(E.rest, B, accum_dtype=accum_dtype)[: E.n_rest_rows])
-    y_sorted = jnp.concatenate(parts, axis=0)
-    if not permute_back:
-        return y_sorted
-    return jnp.take(y_sorted, jnp.asarray(E.inv_perm), axis=0)
-
-
-def _next_pow2(k: int) -> int:
-    p = 1
-    while p < k:
-        p <<= 1
-    return p
-
-
-def _ell_spmm_narrow(E: ELL, B: jax.Array, *, accum_dtype, permute_back):
-    """k | 128 narrow-RHS path: fold G = 128//k consecutive B rows into one
-    128-lane row, gather at full lane width, then pick the k-lane group with
-    a one-hot contraction.  Same gather-row count as the wide path but no
-    (m, 128) widen/slice round-trip of B and Y through HBM.  The one-hot
-    pick runs at HIGHEST precision so f32 values pass through exactly."""
-    k = B.shape[-1]
-    G = 128 // k
-    mb = B.shape[0]
-    pad = (-mb) % G
-    B4 = B if pad == 0 else jnp.concatenate([B, jnp.zeros((pad, k), B.dtype)])
-    B4 = B4.reshape((mb + pad) // G, 128)
-    eye = jnp.eye(G, dtype=accum_dtype)
-    hi = jax.lax.Precision.HIGHEST
-    parts = [jnp.zeros((E.n_empty, k), accum_dtype)]
-    for slab_d, slab_c in zip(E.data, E.cols):
-        R, L = slab_d.shape
-        if L <= 8:
-            y = jnp.zeros((R, k), accum_dtype)
-            for e in range(L):
-                c = slab_c[:, e]
-                g = jnp.take(B4, c // G, axis=0).astype(accum_dtype).reshape(R, G, k)
-                sel = jnp.take(eye, c % G, axis=0)
-                picked = jnp.einsum("rg,rgk->rk", sel, g, precision=hi)
-                y = y + slab_d[:, e : e + 1].astype(accum_dtype) * picked
-        else:
-            c = slab_c.reshape(-1)
-            g = jnp.take(B4, c // G, axis=0).astype(accum_dtype).reshape(R * L, G, k)
+        def pick_folded(c):
+            g = jnp.take(B4, c // G, axis=0).astype(accum_dtype).reshape(-1, G, k)
             sel = jnp.take(eye, c % G, axis=0)
-            picked = jnp.einsum("sg,sgk->sk", sel, g, precision=hi).reshape(R, L, k)
-            y = jnp.einsum("rl,rlk->rk", slab_d.astype(accum_dtype), picked, precision=hi)
-        parts.append(y)
-    if E.n_rest_rows:
-        from spmm_tpu.ops.spmm import spmm_xla
+            return jnp.einsum("sg,sgk->sk", sel, g, precision=hi)
 
-        parts.append(spmm_xla(E.rest, B, accum_dtype=accum_dtype)[: E.n_rest_rows])
-    y_sorted = jnp.concatenate(parts, axis=0)
-    if not permute_back:
-        return y_sorted
-    return jnp.take(y_sorted, jnp.asarray(E.inv_perm), axis=0)
+        return _slab_loop(E, B, pick_folded, k, accum_dtype, permute_back)
+
+    def pick_wide(c):
+        return jnp.take(B, c, axis=0).astype(accum_dtype)
+
+    return _slab_loop(E, B, pick_wide, k, accum_dtype, permute_back)
 
 
 def ell_spmv(E: ELL, x: jax.Array, *, accum_dtype=jnp.float32, permute_back: bool = True):

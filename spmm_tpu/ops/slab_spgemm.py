@@ -60,9 +60,11 @@ from spmm_tpu.formats.containers import COO, CSR, to_csr
 _INT_MAX = np.int32(np.iinfo(np.int32).max)
 
 #: row-chunking threshold: the device kernel's int32 cumsums require the
-#: padded expansion to stay below 2^31; spgemm_slab splits A's rows when a
-#: piece would exceed this (patchable in tests)
-_MAX_EXP_PAD = 2**31
+#: padded expansion below 2^31, and HBM requires far less — a 2^28-slot
+#: piece bounds the plan tables + slab temps to a few GB of the 16 GB chip
+#: (a 1G-slot program OOM'd in practice).  spgemm_slab splits A's rows when
+#: a piece would exceed this (patchable in tests).
+_MAX_EXP_PAD = 2**28
 
 #: power-of-two padded-expansion classes; rows above the last use the fallback
 DEFAULT_CLASSES = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
@@ -477,8 +479,13 @@ _numeric_chunk = jax.jit(
 
 def _is_pattern(M: CSR) -> bool:
     """True when every stored value is exactly 1.0 — the reference's forced
-    semantics (serial_newblock_clock.cpp:84,96).  O(nnz) host check, ~ms."""
-    d = np.asarray(M.host().data)
+    semantics (serial_newblock_clock.cpp:84,96).  O(nnz) host check, ~ms.
+    Device-resident values are NOT pulled to host (a D2H of the whole value
+    array through the remote tunnel would dwarf the saving) — auto-detection
+    answers False there; callers that know pass ``pattern=True``."""
+    d = M.data
+    if not isinstance(d, np.ndarray):
+        return False
     return bool(np.all(d[: M.nnz] == 1))
 
 
@@ -517,6 +524,7 @@ def spgemm_slab_csr(
     A_dev: CSR | None = None,
     B_dev: CSR | None = None,
     nnz_pad: int | None = None,
+    pattern: bool | None = None,
 ):
     """C = A @ B as a DEVICE-RESIDENT padded CSR — chainable into further
     device ops (SpMM, another SpGEMM) without host transfers.  Requires no
@@ -525,7 +533,7 @@ def spgemm_slab_csr(
     the output nnz); pass a tighter bound to save memory."""
     outs, tail_rows, _ = spgemm_slab_device(
         A, B, classes=classes, seg_w=seg_w, slot_budget=slot_budget,
-        accum_dtype=accum_dtype, A_dev=A_dev, B_dev=B_dev,
+        accum_dtype=accum_dtype, A_dev=A_dev, B_dev=B_dev, pattern=pattern,
     )
     if len(tail_rows):
         raise ValueError(
@@ -699,9 +707,12 @@ def spgemm_slab(
     slot_budget: int = DEFAULT_SLOT_BUDGET,
     accum_dtype=jnp.float32,
     as_csr: bool = True,
+    pattern: bool | None = None,
 ):
     """C = A @ B via per-row-class batched slab sorts (exact: duplicate
     columns merged, rows ascending, columns sorted within rows)."""
+    if pattern is None:  # detect ONCE here; threaded through every sub-call
+        pattern = _is_pattern(A) and _is_pattern(B)
     if A.nnz == 0 or B.nnz == 0:
         out = COO(
             row=np.zeros(0, np.int32),
@@ -719,9 +730,9 @@ def spgemm_slab(
     except _ExpansionTooLarge:
         mid = A.nrow // 2
         top = spgemm_slab(_row_slice(A, 0, mid), B, classes=classes, seg_w=seg_w,
-                          slot_budget=slot_budget, accum_dtype=accum_dtype)
+                          slot_budget=slot_budget, accum_dtype=accum_dtype, pattern=pattern)
         bot = spgemm_slab(_row_slice(A, mid, A.nrow), B, classes=classes, seg_w=seg_w,
-                          slot_budget=slot_budget, accum_dtype=accum_dtype)
+                          slot_budget=slot_budget, accum_dtype=accum_dtype, pattern=pattern)
         out = _concat_row_blocks([top, bot], (A.nrow, B.ncol))
         if as_csr:
             return out
@@ -735,7 +746,7 @@ def spgemm_slab(
         try:
             Cd = spgemm_slab_csr(
                 A, B, classes=classes, seg_w=seg_w, slot_budget=slot_budget,
-                accum_dtype=accum_dtype,
+                accum_dtype=accum_dtype, pattern=pattern,
             )
             h = Cd.host()
             return CSR(
@@ -748,7 +759,8 @@ def spgemm_slab(
         except ValueError:
             pass  # heavy-tail rows: fall through to the host-assembly path
     outs, tail_rows, _ = spgemm_slab_device(
-        A, B, classes=classes, seg_w=seg_w, slot_budget=slot_budget, accum_dtype=accum_dtype
+        A, B, classes=classes, seg_w=seg_w, slot_budget=slot_budget,
+        accum_dtype=accum_dtype, pattern=pattern,
     )
 
     out_rows, out_cols, out_vals = [], [], []

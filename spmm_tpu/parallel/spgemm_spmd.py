@@ -147,11 +147,13 @@ def spgemm_dist_spmd(
     if pattern is None:
         from spmm_tpu.ops.slab_spgemm import _is_pattern
 
-        sdat = np.asarray(S.data)
-        siptr = np.asarray(S.indptr, np.int64)
-        pattern = _is_pattern(B) and all(
-            bool(np.all(sdat[s, : int(siptr[s, -1])] == 1)) for s in range(nsh)
-        )
+        if isinstance(S.data, np.ndarray):  # never D2H-scan device shards
+            siptr = np.asarray(S.indptr, np.int64)
+            pattern = _is_pattern(B) and all(
+                bool(np.all(S.data[s, : int(siptr[s, -1])] == 1)) for s in range(nsh)
+            )
+        else:
+            pattern = False
     cls, counts, npa_max, nnz_s = _per_shard_sizing(S, B, W, classes)
     sched, starts, cnts, _ = _uniform_schedule(counts=counts[:, : len(classes) + 1],
                                                classes=classes, slot_budget=slot_budget)

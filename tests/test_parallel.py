@@ -107,7 +107,14 @@ def test_spgemm_dist_spmd_matches_scipy():
     from spmm_tpu.parallel import make_mesh, partition_rows
     from spmm_tpu.parallel.spgemm_spmd import spgemm_dist_spmd
 
+    import dataclasses
+
+    # random values: exercises the value-bits path (pattern auto-detect off)
     A = webgraph_like(3000, 21000, seed=11)
+    rng = np.random.default_rng(11)
+    A = dataclasses.replace(
+        A, data=rng.standard_normal(np.asarray(A.data).shape).astype(np.float32)
+    )
     mesh = make_mesh()
     S = partition_rows(A, mesh.shape["rows"])
     C = spgemm_dist_spmd(S, A, mesh)

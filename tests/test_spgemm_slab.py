@@ -41,8 +41,18 @@ def test_random_rectangular(seed):
 
 
 @pytest.mark.parametrize("seg_w", [1, 4, 8])
-def test_webgraph_axa_seg_widths(seg_w):
+@pytest.mark.parametrize("values", ["pattern", "random"])
+def test_webgraph_axa_seg_widths(seg_w, values):
+    """Both the pattern fast path (all-ones values, value channels elided)
+    and the general value-bits path, at every segment width."""
+    import dataclasses
+
     A = webgraph_like(2000, 12000, seed=3)
+    if values == "random":
+        rng = np.random.default_rng(31)
+        A = dataclasses.replace(
+            A, data=rng.standard_normal(np.asarray(A.data).shape).astype(np.float32)
+        )
     C = spgemm_slab(A, A, seg_w=seg_w)
     _check(C, _oracle(A.to_scipy(), A.to_scipy()))
 

@@ -139,3 +139,22 @@ def test_cg_solver_example():
     x, hist = cg(L, b, iters=300)
     res = np.linalg.norm(L.to_scipy() @ x - b) / np.linalg.norm(b)
     assert res < 1e-3, res
+
+
+def test_triangle_count_example():
+    """examples/triangle_count.py vs the scipy masked-product oracle."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    import numpy as np
+    from triangle_count import count_triangles, symmetrize
+
+    from spmm_tpu.formats.synthetic import webgraph_like
+
+    A = symmetrize(webgraph_like(1200, 9000, seed=4))
+    t = count_triangles(A)
+    S = A.to_scipy()
+    ref = (S @ S).multiply(S).sum() / 6.0
+    assert abs(t - ref) < 0.5, (t, ref)
+    assert t > 0  # fixture must actually contain triangles
