@@ -6,7 +6,7 @@ from spmm_tpu.parallel.spmm_dist import (
     spmv_dist,
     spgemm_dist,
 )
-from spmm_tpu.parallel.spgemm_spmd import spgemm_dist_spmd
+from spmm_tpu.parallel.spgemm_spmd import spgemm_dist_halo, spgemm_dist_spmd
 
 __all__ = [
     "make_mesh",
@@ -16,5 +16,6 @@ __all__ = [
     "spmm_dist_ring",
     "spmv_dist",
     "spgemm_dist",
+    "spgemm_dist_halo",
     "spgemm_dist_spmd",
 ]

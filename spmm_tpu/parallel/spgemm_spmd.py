@@ -1,10 +1,16 @@
-"""SPMD distributed SpGEMM — row-partitioned A, replicated B, shard_map.
+"""SPMD distributed SpGEMM — row-partitioned A under shard_map.
 
 BASELINE config 5: multi-host row-partitioned SpGEMM.  The left matrix is
 row-block sharded over the mesh's "rows" axis (the reference's region split
-is the shard unit, SURVEY.md §2.4/§2.12); B's CSR is replicated (SpGEMM needs
-random access to all of B's rows — the ring/halo refinement streams only the
-rows each shard references, see parallel/spmm_dist.py for the dense-RHS ring).
+is the shard unit, SURVEY.md §2.4/§2.12).  Two B strategies:
+
+- :func:`spgemm_dist_spmd` — B's CSR replicated (random access to all rows);
+- :func:`spgemm_dist_halo` — each shard holds ONLY the B rows its column ids
+  reference (the halo set, SURVEY.md §2.12; per-shard memory drops from
+  nnz(B) to the shard's working set — the distributed analog of the
+  reference's distinct-column region budget, transmat.h:334-376).
+
+(The dense-RHS ppermute ring lives in parallel/spmm_dist.py.)
 
 Every shard runs the same slab-ESC program (ops/slab_spgemm.py) under
 ``shard_map``, which requires uniform static shapes across shards:
@@ -46,14 +52,21 @@ from spmm_tpu.ops.slab_spgemm import (
 )
 
 
-def _per_shard_sizing(S: ShardedCSR, B: CSR, W: int, classes):
-    """Host-side sizing per shard (native one-pass when available)."""
-    b_iptr = np.asarray(B.host().indptr, dtype=np.int64)
-    lenB = b_iptr[1:] - b_iptr[:-1]
+def _per_shard_sizing(S: ShardedCSR, B: CSR, W: int, classes, b_iptr_per_shard=None):
+    """Host-side sizing per shard (native one-pass when available).
+    ``b_iptr_per_shard``: optional (nsh, nrowB_loc+1) per-shard local B indptr
+    (the halo path); default is one replicated B."""
+    b_iptr_rep = np.asarray(B.host().indptr, dtype=np.int64)
     cls_all, counts_all, npa_max, nnz_s = [], [], 0, []
     ind = np.asarray(S.indices)
     iptr = np.asarray(S.indptr, dtype=np.int64)
     for s in range(S.n_shards):
+        b_iptr = (
+            np.asarray(b_iptr_per_shard[s], np.int64)
+            if b_iptr_per_shard is not None
+            else b_iptr_rep
+        )
+        lenB = b_iptr[1:] - b_iptr[:-1]
         nnz = int(iptr[s, -1])
         nnz_s.append(nnz)
         res = None
@@ -275,6 +288,203 @@ def spgemm_dist_spmd(
             cols_l.append(np.asarray(Ct.col[: Ct.nnz], np.int64))
             vals_l.append(np.asarray(Ct.data[: Ct.nnz]))
 
+    rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
+    cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
+    vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.float32)
+    from spmm_tpu.ops.slab_spgemm import _assemble_csr
+
+    return _assemble_csr(rows, cols, vals, (S.shape[0], B.ncol))
+
+
+# ---------------------------------------------------------------------------
+# halo-restricted variant: ship each shard ONLY the B rows it references
+# ---------------------------------------------------------------------------
+
+
+def partition_halo(S: ShardedCSR, B: CSR):
+    """Per-shard halo restriction of B (SURVEY.md §2.12: the off-shard rows a
+    shard's column ids reference are its halo set; the reference's
+    distinct-column working set, transmat.h:334-376, is the same bound
+    computed per region).
+
+    For shard ``s``: ``halo_rows[s]`` = sorted unique column ids of A_s;
+    B restricted to those rows with A_s's indices relabeled to local halo
+    positions (B's columns — the output space — stay global).  All shapes
+    padded to the max over shards for shard_map uniformity.
+
+    Returns ``(A_rel, b_indptr, b_ind, b_dat, halo_rows, halo_counts)``:
+    A_rel a ShardedCSR with relabeled indices; the b_* arrays stacked
+    (nsh, ...) per-shard local CSRs of B.
+    """
+    import dataclasses as _dc
+
+    Bh = B.host()
+    b_iptr = np.asarray(Bh.indptr, np.int64)
+    b_ind_g = np.asarray(Bh.indices, np.int32)[: B.nnz]
+    b_dat_g = np.asarray(Bh.data)[: B.nnz]
+
+    nsh = S.n_shards
+    ind = np.asarray(S.indices)
+    iptr = np.asarray(S.indptr, np.int64)
+
+    uniq_l, rel_l = [], []
+    for s in range(nsh):
+        nnz = int(iptr[s, -1])
+        uniq, inv = np.unique(ind[s, :nnz], return_inverse=True)
+        uniq_l.append(uniq.astype(np.int64))
+        rel = np.zeros_like(ind[s])
+        rel[:nnz] = inv.astype(ind.dtype)
+        rel_l.append(rel)
+    halo_counts = np.array([len(u) for u in uniq_l], np.int64)
+    nrow_loc = int(halo_counts.max()) if nsh else 1
+
+    # local B CSRs (padded uniform): rows = halo_rows[s], then zero rows
+    loc_iptr = np.zeros((nsh, nrow_loc + 1), np.int64)
+    loc_nnz = np.zeros(nsh, np.int64)
+    for s in range(nsh):
+        lens = b_iptr[uniq_l[s] + 1] - b_iptr[uniq_l[s]]
+        loc_iptr[s, 1 : len(lens) + 1] = np.cumsum(lens)
+        loc_iptr[s, len(lens) + 1 :] = loc_iptr[s, len(lens)]
+        loc_nnz[s] = loc_iptr[s, -1]
+    nnzB_pad = max(int(loc_nnz.max()), 1)
+    loc_ind = np.zeros((nsh, nnzB_pad), np.int32)
+    loc_dat = np.zeros((nsh, nnzB_pad), b_dat_g.dtype)
+    for s in range(nsh):
+        u = uniq_l[s]
+        lens = b_iptr[u + 1] - b_iptr[u]
+        nz = int(lens.sum())
+        if nz == 0:
+            continue
+        pos = np.arange(nz, dtype=np.int64)
+        starts = np.zeros(len(u) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        rof = np.searchsorted(starts, pos, side="right") - 1
+        src = b_iptr[u[rof]] + (pos - starts[rof])
+        loc_ind[s, :nz] = b_ind_g[src]
+        loc_dat[s, :nz] = b_dat_g[src]
+
+    A_rel = _dc.replace(S, indices=np.stack(rel_l))
+    return A_rel, loc_iptr, loc_ind, loc_dat, uniq_l, halo_counts
+
+
+def spgemm_dist_halo(
+    S: ShardedCSR,
+    B: CSR,
+    mesh: Mesh,
+    *,
+    axis: str = "rows",
+    classes: Sequence[int] = DEFAULT_CLASSES,
+    seg_w: int = DEFAULT_SEG_W,
+    slot_budget: int = DEFAULT_SLOT_BUDGET,
+    accum_dtype=jnp.float32,
+    pattern: bool | None = None,
+):
+    """C = A @ B, A row-sharded, with B **halo-restricted** per shard — each
+    shard holds only the B rows its columns reference, instead of a full
+    replica (SpGEMM's halo exchange, SURVEY.md §2.12; memory per shard drops
+    from nnz(B) to the shard's working set).  One SPMD program, same uniform
+    slab schedule as :func:`spgemm_dist_spmd`; returns a global host CSR."""
+    W = seg_w
+    classes = tuple(sorted({_round_up(c, W) for c in classes}))
+    nsh = S.n_shards
+    A_rel, lb_iptr, lb_ind, lb_dat, halo_rows, halo_counts = partition_halo(S, B)
+    if pattern is None:
+        from spmm_tpu.ops.slab_spgemm import _is_pattern
+
+        if isinstance(S.data, np.ndarray):
+            siptr = np.asarray(S.indptr, np.int64)
+            pattern = _is_pattern(B) and all(
+                bool(np.all(np.asarray(S.data)[s, : int(siptr[s, -1])] == 1))
+                for s in range(nsh)
+            )
+        else:
+            pattern = False
+
+    cls, counts, npa_max, nnz_s = _per_shard_sizing(
+        A_rel, B, W, classes, b_iptr_per_shard=lb_iptr
+    )
+    sched, starts, cnts, _ = _uniform_schedule(
+        counts=counts[:, : len(classes) + 1], classes=classes, slot_budget=slot_budget
+    )
+    tail_per_shard = counts[:, len(classes)]
+    if tail_per_shard.sum():
+        raise ValueError(
+            "halo path does not implement the heavy-tail fallback; raise the "
+            "class ceiling or use spgemm_dist_spmd"
+        )
+
+    lenB_loc = lb_iptr[:, 1:] - lb_iptr[:, :-1]
+    nsegB = int(((lenB_loc + W - 1) // W).sum(axis=1).max())
+    max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
+    rows_pad = S.rows_per_shard
+    kw = dict(
+        W=W,
+        npa_pad=_round_up(npa_max, 1024),
+        nsegB_pad=_round_up(nsegB, 1024),
+        nrow=rows_pad,
+        nrow_pad=rows_pad + max_chunk,
+    )
+    schedule = tuple(sched)
+    spec_sh = P(axis)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_sh,) * 9,
+        out_specs=(spec_sh, tuple((spec_sh,) * 4 for _ in schedule)),
+        check_vma=False,
+    )
+    def run(indptr, ind, dat, cls_s, nnz_sc, sc_tab, b_indptr, b_ind, b_dat):
+        indptr, ind, dat = indptr[0], ind[0], dat[0]
+        cls_s, nnz_sc, sc_tab = cls_s[0], nnz_sc[0], sc_tab[0]
+        b_indptr, b_ind, b_dat = b_indptr[0], b_ind[0], b_dat[0]
+        (b2p, pap, prb, npr, rows_sorted) = _plan_body(
+            indptr, ind, dat, b_indptr, b_ind, b_dat, cls_s, nnz=nnz_sc[0],
+            pattern=pattern, **kw
+        )
+        a_dt, b_dt = str(dat.dtype), str(b_dat.dtype)
+        outs = []
+        for i, (L, R_pad) in enumerate(schedule):
+            outs.append(
+                _chunk_body(
+                    b2p, pap, rows_sorted, prb, npr,
+                    sc_tab[0, i], sc_tab[1, i], L=L, R_pad=R_pad, W=W,
+                    a_dtype=a_dt, b_dtype=b_dt, accum_dtype=accum_dtype,
+                    pattern=pattern,
+                )
+            )
+        outs = tuple(tuple(x[None] for x in o) for o in outs)
+        return rows_sorted[None], outs
+
+    sharding = NamedSharding(mesh, P(axis))
+    dev = lambda a: jax.device_put(np.asarray(a), sharding)
+    sc_tab = np.stack([starts, cnts], axis=1)
+    rows_sorted, outs = run(
+        dev(np.asarray(A_rel.indptr, np.int32)),
+        dev(np.asarray(A_rel.indices, np.int32)),
+        dev(np.asarray(A_rel.data)),
+        dev(cls),
+        dev(nnz_s[:, None]),
+        dev(sc_tab),
+        dev(lb_iptr.astype(np.int32)),
+        dev(lb_ind),
+        dev(lb_dat),
+    )
+
+    # host assembly (columns are global; same shape as the replicated path)
+    row_starts = np.asarray(S.row_starts, np.int64)
+    rows_l, cols_l, vals_l = [], [], []
+    for r, cols_u, vals_u, nuniq in outs:
+        r = np.asarray(r)
+        nu = np.asarray(nuniq)
+        cu = np.asarray(cols_u)
+        vu = np.asarray(vals_u)
+        L = cu.shape[-1]
+        for s in range(nsh):
+            mask = np.arange(L)[None, :] < nu[s][:, None]
+            rows_l.append(np.repeat(r[s].astype(np.int64), nu[s]) + row_starts[s])
+            cols_l.append(cu[s][mask].astype(np.int64))
+            vals_l.append(vu[s][mask])
     rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
     cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
     vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.float32)

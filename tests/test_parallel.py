@@ -153,3 +153,42 @@ def test_spgemm_dist_spmd_with_tail_rows():
     assert C.nnz == ref.nnz
     np.testing.assert_array_equal(np.asarray(C.indices[: C.nnz]), ref.indices)
     np.testing.assert_allclose(np.asarray(C.data[: C.nnz]), ref.data, rtol=1e-4, atol=1e-4)
+
+
+def test_spgemm_dist_halo_matches_scipy():
+    """Halo-restricted SPMD SpGEMM (each shard holds only its referenced B
+    rows) vs scipy, pattern and value modes."""
+    import dataclasses
+
+    import numpy as np
+
+    from spmm_tpu.formats.synthetic import webgraph_like
+    from spmm_tpu.parallel import make_mesh, partition_rows
+    from spmm_tpu.parallel.spgemm_spmd import partition_halo, spgemm_dist_halo
+
+    A = webgraph_like(2400, 16000, seed=13)
+    mesh = make_mesh()
+    S = partition_rows(A, mesh.shape["rows"])
+
+    # halo restriction is real: every shard's local B is smaller than B
+    _, lb_iptr, _, _, _, halo_counts = partition_halo(S, A)
+    assert halo_counts.max() < A.nrow
+
+    for values in ("pattern", "random"):
+        Ax = A
+        if values == "random":
+            rng = np.random.default_rng(13)
+            Ax = dataclasses.replace(
+                A, data=rng.standard_normal(np.asarray(A.data).shape).astype(np.float32)
+            )
+            S2 = partition_rows(Ax, mesh.shape["rows"])
+        else:
+            S2 = S
+        C = spgemm_dist_halo(S2, Ax, mesh)
+        Sp = Ax.to_scipy()
+        ref = (Sp @ Sp).tocsr()
+        ref.sum_duplicates()
+        ref.sort_indices()
+        assert C.nnz == ref.nnz
+        np.testing.assert_array_equal(np.asarray(C.indices[: C.nnz]), ref.indices)
+        np.testing.assert_allclose(np.asarray(C.data[: C.nnz]), ref.data, rtol=1e-5, atol=2e-5)
