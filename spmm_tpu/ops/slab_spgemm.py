@@ -104,6 +104,37 @@ def _shift_right(x):
     return jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
 
 
+def _fold_ws(w: int) -> int:
+    """Smallest divisor of 128 >= w — the per-segment lane stride when a
+    logical width-w table is folded into physical (X, 128) rows.
+
+    TPU arrays are tiled (8, 128): a physical (n, w) table with w << 128 pads
+    every row to a full 512 B tile row (a 32x blowup at w=4 — observed as a
+    15.5 GB HLO temp on a 125M-nnz B).  Tables here are therefore stored as
+    FLAT 1-D linear arrays (no padding) and reshaped — free for linear
+    layouts — to (X, 128) full-lane rows of 128//ws segments each; consumers
+    gather whole rows and one-hot-pick the segment (same fold trick as
+    ops/ell_spmm.py narrow-k)."""
+    for d in (1, 2, 4, 8, 16, 32, 64, 128):
+        if d >= w:
+            return d
+    raise ValueError(f"segment width {w} exceeds one 128-lane row")
+
+
+def _pick_lane(g, lane):
+    """(S, 128) gathered rows, (S,) lane index -> (S,) picked int32."""
+    io = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    return jnp.sum(jnp.where(io == lane[:, None], g, 0), axis=1)
+
+
+def _pick_group(g, grp, ws):
+    """(S, 128) gathered rows, (S,) group index -> (S, ws) picked segment."""
+    S = g.shape[0]
+    g3 = g.reshape(S, 128 // ws, ws)
+    io = jax.lax.broadcasted_iota(jnp.int32, g3.shape[:2], 1)
+    return jnp.sum(jnp.where((io == grp[:, None])[:, :, None], g3, 0), axis=1)
+
+
 # ---------------------------------------------------------------------------
 # plan
 # ---------------------------------------------------------------------------
@@ -114,11 +145,12 @@ def _shift_right(x):
 class SpgemmPlan:
     """Device-resident expansion layout.  pa = (A-nonzero, B-segment) pair."""
 
-    #: (nsegB_pad, (1+nvb)*W) aligned padded B table: [cols | value bits]
-    #: interleaved so ONE row gather fetches both (gathers charge per row)
+    #: folded (nsegB_pad*ws/128, 128) B table, ws lanes per segment
+    #: ([cols | value bits | dead], see _fold_ws) — flat linear storage so
+    #: TPU tiling never pads it
     b2_packed: jax.Array
-    #: (npa_pad, 1+nva) packed pa table: [b2row | A-value bits]
-    pa_packed: jax.Array
+    #: tuple of 1-D (npa_pad,) channels: (b2row[, A-value bits...])
+    pa_packed: tuple
     pa_row_base: jax.Array  #: (nrow,) first pa of each output row
     npa_row: jax.Array  #: (nrow,) pa count per output row
     rows_sorted: jax.Array  #: (nrow_pad,) row ids ordered by class
@@ -167,21 +199,25 @@ def _plan_body(
     )
     dest = posb + jnp.cumsum(dd)[:nnzB_pad]
     dest = jnp.where(posb < b_indptr[-1], dest, nsegB_pad * W)  # drop padding
-    flat_cols = jnp.full((nsegB_pad * W,), _INT_MAX, jnp.int32).at[dest].set(
-        b_ind, mode="drop"
-    )
-    b2_cols = flat_cols.reshape(nsegB_pad, W)
-    if pattern:
-        # all values are 1.0 — the columns ARE the table; chunks synthesize
-        # the value 1 from col != _INT_MAX
-        b2_packed = b2_cols
-    else:
-        flat_vals = jnp.zeros((nsegB_pad * W,), b_dat.dtype).at[dest].set(b_dat, mode="drop")
-        b2_vals = flat_vals.reshape(nsegB_pad, W)
-        # interleave cols and value BITS into one table: row gathers charge per
-        # ROW on v5e, so one (1+nvb)W-wide gather replaces two W-wide ones
-        b2_vbits = jax.lax.bitcast_convert_type(b2_vals, jnp.int32).reshape(nsegB_pad, -1)
-        b2_packed = jnp.concatenate([b2_cols, b2_vbits], axis=1)
+    # FOLDED storage (see _fold_ws): one flat int32 array, ws lanes per
+    # segment ([cols | value bits | dead]), reshaped to full (X, 128) rows —
+    # never a narrow (nsegB, w) physical table
+    nvb = 0 if pattern else np.dtype(b_dat.dtype).itemsize // 4
+    ws_b = _fold_ws(W if pattern else (1 + nvb) * W)
+    seg = dest // W
+    w_in = dest - seg * W
+    flat = jnp.full((nsegB_pad * ws_b,), _INT_MAX, jnp.int32).at[
+        seg * ws_b + w_in
+    ].set(b_ind, mode="drop")
+    if not pattern:
+        bits_b = jax.lax.bitcast_convert_type(b_dat, jnp.int32)
+        if bits_b.ndim == 1:
+            bits_b = bits_b[:, None]
+        for i in range(nvb):
+            flat = flat.at[seg * ws_b + W + w_in * nvb + i].set(
+                bits_b[:, i], mode="drop"
+            )
+    b2_packed = flat.reshape(-1, 128)
 
     # --- pa enumeration (kept A-nonzero x B-segment) -------------------------
     # pa_b2row is a ramp (+1 per pa) with per-a rebasing to bseg_off[j]:
@@ -215,18 +251,20 @@ def _plan_body(
 
     pa_b2row = jnp.where(pa_live, step_fn(c_a) + pa_idx, nsegB_pad - 1)
     if pattern:
-        # A values are all 1.0 — no value channel, no per-channel step scatter
-        pa_packed = pa_b2row[:, None]
+        # A values are all 1.0 — no value channels, no per-channel step scatter
+        pa_packed = (pa_b2row,)
     else:
         bits = jax.lax.bitcast_convert_type(a_dat, jnp.int32)
         if bits.ndim == 1:  # fp32: one int32 channel; fp64: two
             bits = bits[:, None]
         nv = bits.shape[1]
         v_a = jnp.where(live_a[:, None], bits, 0)
-        vbits = jnp.stack(
-            [jnp.where(pa_live, step_fn(v_a[:, i]), 0) for i in range(nv)], axis=1
+        # channels stay SEPARATE 1-D linear arrays (a stacked (npa, 1+nv)
+        # table would tile-pad 64x, see _fold_ws); chunks fold each to
+        # (npa_pad//128, 128) for free and lane-pick
+        pa_packed = (pa_b2row,) + tuple(
+            jnp.where(pa_live, step_fn(v_a[:, i]), 0) for i in range(nv)
         )
-        pa_packed = jnp.concatenate([pa_b2row[:, None], vbits], axis=1)
 
     pa_row_base = seg_off[a_indptr[:-1]]
     npa_row = seg_off[a_indptr[1:]] - pa_row_base
@@ -240,40 +278,6 @@ def _plan_body(
 class _ExpansionTooLarge(Exception):
     """Internal: padded expansion exceeds the int32 device budget —
     spgemm_slab responds by splitting A's rows."""
-
-
-def _row_slice(A: CSR, lo: int, hi: int) -> CSR:
-    """Contiguous row range [lo, hi) as a tight CSR view (no data copy for
-    the value/index arrays beyond the slice)."""
-    h = A.host()
-    indptr = np.asarray(h.indptr, dtype=np.int64)
-    p0, p1 = int(indptr[lo]), int(indptr[hi])
-    return CSR(
-        data=np.asarray(h.data)[p0:p1],
-        indices=np.asarray(h.indices, np.int32)[p0:p1],
-        indptr=indptr[lo : hi + 1] - p0,
-        shape=(hi - lo, A.shape[1]),
-        nnz=p1 - p0,
-    )
-
-
-def _concat_row_blocks(parts, shape) -> CSR:
-    """Stack CSRs of consecutive row ranges into one CSR."""
-    datas = [np.asarray(p.data[: p.nnz]) for p in parts]
-    inds = [np.asarray(p.indices[: p.nnz], np.int32) for p in parts]
-    iptrs = []
-    off = 0
-    for i, p in enumerate(parts):
-        ip = np.asarray(p.indptr, np.int64) + off
-        iptrs.append(ip if i == 0 else ip[1:])
-        off = int(ip[-1])
-    return CSR(
-        data=np.concatenate(datas),
-        indices=np.concatenate(inds),
-        indptr=np.concatenate(iptrs),
-        shape=shape,
-        nnz=off,
-    )
 
 
 def _sizing(A: CSR, B: CSR, W: int, classes):
@@ -404,14 +408,15 @@ def _chunk_body(
     accum_dtype=jnp.float32,
     pattern: bool = False,
 ):
-    """One (R_pad, L) slab chunk: gather each row's padded partials straight
-    from the packed B2 table (one pa-table row gather + one B2 row gather —
-    cols and value bits ride the same rows since gathers charge per row),
-    batched sort by column, scatter-free duplicate merge.  In ``pattern``
-    mode every partial's value is 1 (synthesized from column validity — the
-    tables carry no value channels).  Returns (rows, cols_u, vals_u, nuniq)."""
+    """One (R_pad, L) slab chunk: gather each row's padded partials from the
+    FOLDED tables (pa channels and B2 are flat linear arrays viewed as
+    (X, 128) full-lane rows — see _fold_ws; gather whole rows, one-hot-pick
+    the lane/segment), batched sort by column, scatter-free duplicate merge.
+    In ``pattern`` mode every partial's value is 1 (synthesized from column
+    validity — no value channels).  Returns (rows, cols_u, vals_u, nuniq)."""
     nblk = L // W
-    nva = pa_packed.shape[1] - 1
+    nva = len(pa_packed) - 1
+    npa_pad = pa_packed[0].shape[0]
     ii = jnp.arange(R_pad, dtype=jnp.int32)
     in_chunk = ii < count
     r = jax.lax.dynamic_slice(rows_sorted, (start,), (R_pad,))
@@ -419,28 +424,34 @@ def _chunk_body(
     nb = jnp.where(in_chunk, npa_row[r], 0)
 
     bi = jax.lax.broadcasted_iota(jnp.int32, (R_pad, nblk), 1)
-    pa = jnp.clip(base[:, None] + bi, 0, pa_packed.shape[0] - 1)
+    pa = jnp.clip(base[:, None] + bi, 0, npa_pad - 1).reshape(-1)
     bm = bi < nb[:, None]  # mask blocks that belong to other rows / padding
+
+    pa_row, pa_lane = pa // 128, pa % 128
+    b2r = _pick_lane(jnp.take(pa_packed[0].reshape(-1, 128), pa_row, axis=0), pa_lane)
+
+    nvb = 0 if pattern else np.dtype(b_dtype).itemsize // 4
+    ws_b = _fold_ws(W if pattern else (1 + nvb) * W)
+    Gb = 128 // ws_b
+    g = _pick_group(jnp.take(b2_packed, b2r // Gb, axis=0), b2r % Gb, ws_b)
+    col = g[:, :W]
     if pattern:
-        # row-form gather (S,1): the 2-D row gather path sustains a higher
-        # rate than the 1-D scalar gather on v5e (README rate table)
-        b2r = jnp.take(pa_packed, pa.reshape(-1), axis=0)[:, 0]
-        col = jnp.take(b2_packed, b2r, axis=0)  # (S, W), no value channels
         valid = bm.reshape(-1)[:, None] & (col != _INT_MAX)
         col = jnp.where(valid, col, _INT_MAX).reshape(R_pad, L)
         val = valid.astype(accum_dtype).reshape(R_pad, L)
     else:
-        pa_g = jnp.take(pa_packed, pa.reshape(-1), axis=0)  # (S, 1+nva)
-        b2r = pa_g[:, 0]
-        avbits = pa_g[:, 1:]
+        avbits = jnp.stack(
+            [
+                _pick_lane(jnp.take(ch.reshape(-1, 128), pa_row, axis=0), pa_lane)
+                for ch in pa_packed[1:]
+            ],
+            axis=1,
+        )
         aval = jax.lax.bitcast_convert_type(
             avbits if nva > 1 else avbits[:, 0], jnp.dtype(a_dtype)
         )
-        g = jnp.take(b2_packed, b2r, axis=0)  # (S, (1+nvb)W) one row gather
-        col = g[:, :W]
         S = g.shape[0]
-        nvb = (g.shape[1] - W) // W
-        vbits = g[:, W:]
+        vbits = g[:, W : W + W * nvb]
         val = jax.lax.bitcast_convert_type(
             vbits.reshape(S, W, nvb) if nvb > 1 else vbits, jnp.dtype(b_dtype)
         ).astype(accum_dtype)
@@ -726,21 +737,30 @@ def spgemm_slab(
     # the device kernel's int32 budget (the >=100M-nnz multi-host regime)
     W = seg_w
     try:
-        _sizing(A, B, W, tuple(sorted({_round_up(c, W) for c in classes})))
-    except _ExpansionTooLarge:
-        mid = A.nrow // 2
-        top = spgemm_slab(_row_slice(A, 0, mid), B, classes=classes, seg_w=seg_w,
-                          slot_budget=slot_budget, accum_dtype=accum_dtype, pattern=pattern)
-        bot = spgemm_slab(_row_slice(A, mid, A.nrow), B, classes=classes, seg_w=seg_w,
-                          slot_budget=slot_budget, accum_dtype=accum_dtype, pattern=pattern)
-        out = _concat_row_blocks([top, bot], (A.nrow, B.ncol))
+        npa_est, _, _, _ = _sizing(A, B, W, tuple(sorted({_round_up(c, W) for c in classes})))
+    except _ExpansionTooLarge as e:
+        # huge products: uniform row pieces through ONE compiled program
+        # (recursive halving would recompile per piece size).  Start the
+        # piece search at total/(budget/2) — repartitioning a 100M-nnz
+        # matrix per doubling is seconds each.
+        hint = 2
+        while hint * _MAX_EXP_PAD < int(e.args[0]) * 2:
+            hint *= 2
+        out = spgemm_slab_big(
+            A, B, classes=classes, seg_w=seg_w, slot_budget=slot_budget,
+            accum_dtype=accum_dtype, pattern=pattern, pieces_hint=hint,
+        )
         if as_csr:
             return out
         from spmm_tpu.formats.containers import to_coo
 
         return to_coo(out)
 
-    if as_csr:
+    # device-compact is only a win while its padded-expansion-sized scratch
+    # (data+indices, ~8 B/slot) fits comfortably next to the chunk outputs;
+    # past this, host assembly (pull each chunk, free it) has the lower peak
+    _CSR_COMPACT_MAX = 1 << 26
+    if as_csr and npa_est * W <= _CSR_COMPACT_MAX:
         # fast path: compact on device, transfer only the CSR arrays
         # (~out_nnz * 8 B instead of the padded slabs)
         try:
@@ -764,13 +784,16 @@ def spgemm_slab(
     )
 
     out_rows, out_cols, out_vals = [], [], []
-    for r, cols_u, vals_u, nuniq in outs:
+    outs = list(outs)
+    while outs:  # consume-and-free: chunk device buffers release as we pull
+        r, cols_u, vals_u, nuniq = outs.pop(0)
         nu = np.asarray(nuniq)
         L = cols_u.shape[1]
         mask = np.arange(L)[None, :] < nu[:, None]
         out_rows.append(np.repeat(np.asarray(r, np.int64), nu))
         out_cols.append(np.asarray(cols_u)[mask].astype(np.int64))
         out_vals.append(np.asarray(vals_u)[mask])
+        del r, cols_u, vals_u, nuniq
 
     if len(tail_rows):
         sub = _take_rows(A.host(), np.asarray(tail_rows, np.int64))
@@ -798,6 +821,164 @@ def spgemm_slab(
     from spmm_tpu.formats.containers import to_coo
 
     return to_coo(out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "schedule",
+        "accum_dtype", "pattern",
+    ),
+)
+def _piece_exec(
+    a_indptr, a_ind, a_dat, cls_s, nnz_sc, sc_tab, b_indptr, b_ind, b_dat,
+    *, W, npa_pad, nsegB_pad, nrow, nrow_pad, schedule, accum_dtype, pattern
+):
+    """One uniform piece of a huge product: plan + runtime-scalar chunk
+    schedule.  All pieces share this single compiled program — piece nnz and
+    per-chunk (start, count) enter as traced scalars (``sc_tab``), exactly
+    the uniform-schedule trick the SPMD path uses across shards
+    (parallel/spgemm_spmd.py)."""
+    (b2p, pap, prb, npr, rows_sorted) = _plan_body(
+        a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_s,
+        W=W, npa_pad=npa_pad, nsegB_pad=nsegB_pad, nrow=nrow, nrow_pad=nrow_pad,
+        nnz=nnz_sc[0], pattern=pattern,
+    )
+    a_dt, b_dt = str(a_dat.dtype), str(b_dat.dtype)
+    outs = tuple(
+        _chunk_body(
+            b2p, pap, rows_sorted, prb, npr, sc_tab[0, i], sc_tab[1, i],
+            L=L, R_pad=R_pad, W=W, a_dtype=a_dt, b_dtype=b_dt,
+            accum_dtype=accum_dtype, pattern=pattern,
+        )
+        for i, (L, R_pad) in enumerate(schedule)
+    )
+    return rows_sorted, outs
+
+
+def spgemm_slab_big(
+    A: CSR,
+    B: CSR,
+    *,
+    pieces: int | None = None,
+    pieces_hint: int | None = None,
+    classes: Sequence[int] = DEFAULT_CLASSES,
+    seg_w: int = DEFAULT_SEG_W,
+    slot_budget: int = DEFAULT_SLOT_BUDGET,
+    accum_dtype=jnp.float32,
+    pattern: bool | None = None,
+) -> CSR:
+    """C = A @ B for products whose padded expansion exceeds the single-call
+    budget (the >=100M-nnz regime, BASELINE config 5 single-chip analog).
+
+    A is split into uniform row pieces; every piece runs the SAME compiled
+    program (:func:`_piece_exec`) with per-piece runtime scalars, outputs are
+    pulled and freed piece by piece, so both compile count and device peak
+    stay piece-sized.  ``pieces`` defaults to the smallest power of two whose
+    largest piece fits ``_MAX_EXP_PAD`` padded slots."""
+    from spmm_tpu.parallel.partition import partition_rows
+    from spmm_tpu.parallel.spgemm_spmd import _per_shard_sizing, _uniform_schedule
+
+    W = seg_w
+    classes = tuple(sorted({_round_up(c, W) for c in classes}))
+    if pattern is None:
+        pattern = _is_pattern(A) and _is_pattern(B)
+
+    P = pieces or pieces_hint or 2
+    while True:
+        S = partition_rows(A, P)
+        try:
+            cls, counts, npa_max, nnz_s = _per_shard_sizing(S, B, W, classes)
+        except ValueError:  # a piece still exceeds int32 expansion
+            P *= 2
+            continue
+        if pieces is not None or npa_max * W <= _MAX_EXP_PAD:
+            break
+        P *= 2
+
+    sched, starts, cnts, _ = _uniform_schedule(
+        classes=classes, counts=counts[:, : len(classes) + 1], slot_budget=slot_budget
+    )
+    tail_per_piece = counts[:, len(classes)]
+    schedule = tuple(sched)
+    sc_tab = np.stack([starts, cnts], axis=1)  # (P, 2, nchunks)
+
+    Bh = B.host()
+    b_iptr64 = np.asarray(Bh.indptr, np.int64)
+    lenB = b_iptr64[1:] - b_iptr64[:-1]
+    nsegB = int(((lenB + W - 1) // W).sum())
+    max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
+    rows_pad = S.rows_per_shard
+    kw = dict(
+        W=W,
+        npa_pad=_round_up(npa_max, 1024),
+        nsegB_pad=_round_up(nsegB, 1024),
+        nrow=rows_pad,
+        nrow_pad=rows_pad + max_chunk,
+        schedule=schedule,
+        accum_dtype=accum_dtype,
+        pattern=pattern,
+    )
+
+    b_dev = (
+        jnp.asarray(Bh.indptr, jnp.int32),
+        jnp.asarray(Bh.indices, jnp.int32),
+        jnp.asarray(Bh.data),
+    )
+    row_starts = np.asarray(S.row_starts, np.int64)
+    s_ind = np.asarray(S.indices)
+    s_dat = np.asarray(S.data)
+    s_iptr = np.asarray(S.indptr)
+
+    rows_l, cols_l, vals_l = [], [], []
+    for p in range(P):
+        rows_sorted, outs = _piece_exec(
+            jnp.asarray(s_iptr[p], jnp.int32),
+            jnp.asarray(s_ind[p], jnp.int32),
+            jnp.asarray(s_dat[p]),
+            jnp.asarray(cls[p]),
+            jnp.asarray(nnz_s[p : p + 1]),
+            jnp.asarray(sc_tab[p]),
+            *b_dev,
+            **kw,
+        )
+        outs = list(outs)
+        while outs:  # pull-and-free per chunk
+            r, cols_u, vals_u, nuniq = outs.pop(0)
+            nu = np.asarray(nuniq)
+            L = cols_u.shape[1]
+            mask = np.arange(L)[None, :] < nu[:, None]
+            rows_l.append(np.repeat(np.asarray(r, np.int64), nu) + row_starts[p])
+            cols_l.append(np.asarray(cols_u)[mask].astype(np.int64))
+            vals_l.append(np.asarray(vals_u)[mask])
+            del r, cols_u, vals_u, nuniq
+        nt = int(tail_per_piece[p])
+        if nt:
+            base = int(counts[p, : len(classes)].sum())
+            trows = np.asarray(rows_sorted)[base : base + nt].astype(np.int64)
+            sub_full = CSR(
+                data=s_dat[p],
+                indices=np.asarray(s_ind[p], np.int32),
+                indptr=np.asarray(s_iptr[p], np.int64),
+                shape=(rows_pad, A.shape[1]),
+                nnz=int(nnz_s[p]),
+            )
+            from spmm_tpu.ops.spgemm import spgemm as spgemm_sorted
+
+            npdt = np.dtype(jnp.dtype(accum_dtype).name)
+            sub_t = _take_rows(sub_full, trows)
+            sub_t = dataclasses.replace(sub_t, data=np.asarray(sub_t.data, npdt))
+            Bc = dataclasses.replace(Bh, data=np.asarray(np.asarray(Bh.data), npdt))
+            Ct = spgemm_sorted(sub_t, Bc, as_csr=False)
+            rows_l.append(trows[np.asarray(Ct.row[: Ct.nnz], np.int64)] + row_starts[p])
+            cols_l.append(np.asarray(Ct.col[: Ct.nnz], np.int64))
+            vals_l.append(np.asarray(Ct.data[: Ct.nnz]))
+        del rows_sorted
+
+    rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
+    cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
+    vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.float32)
+    return _assemble_csr(rows, cols, vals, (A.nrow, B.ncol))
 
 
 def _assemble_csr(rows, cols, vals, shape) -> CSR:

@@ -123,8 +123,9 @@ def preprocess(A: CSR, config: Config | None = None) -> BlockedCSR:
 
     # --- permutation algebra (reference wbsort.h:58-67,16-34) -----------------
     row_perm = np.asarray(perm1, dtype=np.int64)[ps.perm]  # final_pos -> original row
-    row_inv = np.empty(nrow, dtype=np.int64)  # original row -> final_pos
-    row_inv[row_perm] = np.arange(nrow, dtype=np.int64)
+    row_inv = np.empty(nrow, dtype=np.int32)  # original row -> final_pos
+    row_inv[row_perm] = np.arange(nrow, dtype=np.int32)  # int32 end-to-end: the
+    # container stores int32 and the int64 detour cost two full copies
 
     # --- pass 3c: gather nonzeros into final row order -------------------------
     orig_indptr = np.asarray(h.indptr, dtype=np.int64)
