@@ -887,12 +887,18 @@ def spgemm_slab_big(
     P = pieces or pieces_hint or 2
     while True:
         S = partition_rows(A, P)
+        # a SINGLE row's expansion can exceed the budget (it becomes a tail
+        # row and never enters the slabs) — stop splitting at one-row pieces
+        # instead of doubling forever
+        at_min = S.rows_per_shard <= 1 or P >= A.nrow
         try:
             cls, counts, npa_max, nnz_s = _per_shard_sizing(S, B, W, classes)
         except ValueError:  # a piece still exceeds int32 expansion
+            if at_min:
+                raise  # one row alone exceeds the int32 pa bound
             P *= 2
             continue
-        if pieces is not None or npa_max * W <= _MAX_EXP_PAD:
+        if pieces is not None or npa_max * W <= _MAX_EXP_PAD or at_min:
             break
         P *= 2
 
@@ -930,7 +936,14 @@ def spgemm_slab_big(
     s_dat = np.asarray(S.data)
     s_iptr = np.asarray(S.indptr)
 
-    rows_l, cols_l, vals_l = [], [], []
+    # per piece: (data, indices, local indptr) as TIGHT host arrays.  Pieces
+    # without heavy-tail rows compact ON DEVICE (_compact_to_csr) and
+    # transfer only real nonzeros — no padded slabs through the tunnel, no
+    # host masking, and the final CSR is a plain concatenation (pieces are
+    # ordered row blocks).  Tail-bearing pieces take the masked path + a
+    # local counting sort.
+    nnz_pad_piece = _round_up(npa_max * W, 1024)
+    piece_csrs = []
     for p in range(P):
         rows_sorted, outs = _piece_exec(
             jnp.asarray(s_iptr[p], jnp.int32),
@@ -942,43 +955,97 @@ def spgemm_slab_big(
             *b_dev,
             **kw,
         )
+        nt = int(tail_per_piece[p])
+        if nt == 0 and not outs:  # piece holds only empty rows
+            piece_csrs.append(
+                (
+                    np.zeros(0, np.dtype(jnp.dtype(accum_dtype).name)),
+                    np.zeros(0, np.int32),
+                    np.zeros(rows_pad + 1, np.int64),
+                )
+            )
+            del rows_sorted
+            continue
+        if nt == 0:
+            data, indices, indptr, knnz = _compact_to_csr(
+                tuple(o[0] for o in outs),
+                tuple(o[1] for o in outs),
+                tuple(o[2] for o in outs),
+                tuple(o[3] for o in outs),
+                nrow=rows_pad,
+                nnz_pad=nnz_pad_piece,
+            )
+            k = int(knnz)
+            piece_csrs.append(
+                (
+                    np.asarray(data[:k]),
+                    np.asarray(indices[:k], np.int32),
+                    np.asarray(indptr, np.int64),
+                )
+            )
+            del data, indices, indptr, rows_sorted, outs
+            continue
+
+        rows_l, cols_l, vals_l = [], [], []
         outs = list(outs)
         while outs:  # pull-and-free per chunk
             r, cols_u, vals_u, nuniq = outs.pop(0)
             nu = np.asarray(nuniq)
             L = cols_u.shape[1]
             mask = np.arange(L)[None, :] < nu[:, None]
-            rows_l.append(np.repeat(np.asarray(r, np.int64), nu) + row_starts[p])
+            rows_l.append(np.repeat(np.asarray(r, np.int64), nu))
             cols_l.append(np.asarray(cols_u)[mask].astype(np.int64))
             vals_l.append(np.asarray(vals_u)[mask])
             del r, cols_u, vals_u, nuniq
-        nt = int(tail_per_piece[p])
-        if nt:
-            base = int(counts[p, : len(classes)].sum())
-            trows = np.asarray(rows_sorted)[base : base + nt].astype(np.int64)
-            sub_full = CSR(
-                data=s_dat[p],
-                indices=np.asarray(s_ind[p], np.int32),
-                indptr=np.asarray(s_iptr[p], np.int64),
-                shape=(rows_pad, A.shape[1]),
-                nnz=int(nnz_s[p]),
-            )
-            from spmm_tpu.ops.spgemm import spgemm as spgemm_sorted
+        base = int(counts[p, : len(classes)].sum())
+        trows = np.asarray(rows_sorted)[base : base + nt].astype(np.int64)
+        sub_full = CSR(
+            data=s_dat[p],
+            indices=np.asarray(s_ind[p], np.int32),
+            indptr=np.asarray(s_iptr[p], np.int64),
+            shape=(rows_pad, A.shape[1]),
+            nnz=int(nnz_s[p]),
+        )
+        from spmm_tpu.ops.spgemm import spgemm as spgemm_sorted
 
-            npdt = np.dtype(jnp.dtype(accum_dtype).name)
-            sub_t = _take_rows(sub_full, trows)
-            sub_t = dataclasses.replace(sub_t, data=np.asarray(sub_t.data, npdt))
-            Bc = dataclasses.replace(Bh, data=np.asarray(np.asarray(Bh.data), npdt))
-            Ct = spgemm_sorted(sub_t, Bc, as_csr=False)
-            rows_l.append(trows[np.asarray(Ct.row[: Ct.nnz], np.int64)] + row_starts[p])
-            cols_l.append(np.asarray(Ct.col[: Ct.nnz], np.int64))
-            vals_l.append(np.asarray(Ct.data[: Ct.nnz]))
+        npdt = np.dtype(jnp.dtype(accum_dtype).name)
+        sub_t = _take_rows(sub_full, trows)
+        sub_t = dataclasses.replace(sub_t, data=np.asarray(sub_t.data, npdt))
+        Bc = dataclasses.replace(Bh, data=np.asarray(np.asarray(Bh.data), npdt))
+        Ct = spgemm_sorted(sub_t, Bc, as_csr=False)
+        rows_l.append(trows[np.asarray(Ct.row[: Ct.nnz], np.int64)])
+        cols_l.append(np.asarray(Ct.col[: Ct.nnz], np.int64))
+        vals_l.append(np.asarray(Ct.data[: Ct.nnz]))
         del rows_sorted
+        Cp = _assemble_csr(
+            np.concatenate(rows_l), np.concatenate(cols_l), np.concatenate(vals_l),
+            (rows_pad, B.ncol),
+        )
+        piece_csrs.append(
+            (
+                np.asarray(Cp.data[: Cp.nnz]),
+                np.asarray(Cp.indices[: Cp.nnz], np.int32),
+                np.asarray(Cp.indptr, np.int64),
+            )
+        )
 
-    rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
-    cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
-    vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.float32)
-    return _assemble_csr(rows, cols, vals, (A.nrow, B.ncol))
+    # stitch ordered row-block CSRs; crop padded rows past A.nrow
+    datas = [c[0] for c in piece_csrs]
+    inds = [c[1] for c in piece_csrs]
+    iptrs = []
+    off = 0
+    for i, (_, _, ip) in enumerate(piece_csrs):
+        ip = ip + off
+        iptrs.append(ip if i == 0 else ip[1:])
+        off = int(ip[-1])
+    indptr_full = np.concatenate(iptrs) if iptrs else np.zeros(1, np.int64)
+    return CSR(
+        data=np.concatenate(datas) if datas else np.zeros(0, np.float32),
+        indices=np.concatenate(inds) if inds else np.zeros(0, np.int32),
+        indptr=indptr_full[: A.nrow + 1],
+        shape=(A.nrow, B.ncol),
+        nnz=int(indptr_full[A.nrow]),
+    )
 
 
 def _assemble_csr(rows, cols, vals, shape) -> CSR:

@@ -163,3 +163,22 @@ def test_huge_expansion_row_chunking(monkeypatch):
     assert C.nnz == ref.nnz
     np.testing.assert_array_equal(np.asarray(C.indices[: C.nnz]), ref.indices)
     np.testing.assert_allclose(np.asarray(C.data[: C.nnz]), ref.data, rtol=1e-4, atol=2e-4)
+
+
+def test_big_path_with_tail_rows(monkeypatch):
+    """Uniform-piece big path with a heavy row above the class ceiling:
+    tail-bearing pieces take the masked+counting-sort assembly, others the
+    device compact; the stitched CSR must still be canonical."""
+    import scipy.sparse as sp
+
+    import spmm_tpu.ops.slab_spgemm as mod
+
+    monkeypatch.setattr(mod, "_MAX_EXP_PAD", 4096)
+    rng = np.random.default_rng(21)
+    n = 900
+    A = sp.random(n, n, density=0.015, random_state=21, format="lil", dtype=np.float32)
+    A[7, :] = rng.standard_normal(n)  # heavy row -> tail in its piece
+    A = A.tocsr()
+    Ac = CSR.from_scipy(A)
+    C = mod.spgemm_slab(Ac, Ac, classes=(4, 8, 16))
+    _check(C, _oracle(A, A))
