@@ -121,18 +121,35 @@ def _fold_ws(w: int) -> int:
     raise ValueError(f"segment width {w} exceeds one 128-lane row")
 
 
-def _pick_lane(g, lane):
-    """(S, 128) gathered rows, (S,) lane index -> (S,) picked int32."""
-    io = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-    return jnp.sum(jnp.where(io == lane[:, None], g, 0), axis=1)
-
-
 def _pick_group(g, grp, ws):
     """(S, 128) gathered rows, (S,) group index -> (S, ws) picked segment."""
     S = g.shape[0]
     g3 = g.reshape(S, 128 // ws, ws)
     io = jax.lax.broadcasted_iota(jnp.int32, g3.shape[:2], 1)
     return jnp.sum(jnp.where((io == grp[:, None])[:, :, None], g3, 0), axis=1)
+
+
+def _extract_window(table128, start, nwin):
+    """``table128``: folded (X, 128) view of a flat array; ``start``: (R,)
+    absolute element indices; returns (R, nwin) = flat[start : start+nwin]
+    per row.
+
+    A chunk row's pa indices are CONSECUTIVE (base..base+nblk), so instead of
+    one row gather per pa this fetches the ceil(nwin/128)+1 covering lane
+    rows per output row and barrel-shifts (7 masked rotate stages — VPU
+    cheap) to align each row's window — up to 64x fewer gather rows for the
+    large classes."""
+    R = start.shape[0]
+    r0 = start // 128
+    off = start % 128
+    nfr = (nwin + 127) // 128 + 1
+    rows = r0[:, None] + jnp.arange(nfr, dtype=jnp.int32)[None, :]
+    rows = jnp.clip(rows, 0, table128.shape[0] - 1)
+    flat = jnp.take(table128, rows.reshape(-1), axis=0).reshape(R, nfr * 128)
+    for k in (64, 32, 16, 8, 4, 2, 1):  # rotate-left by off, bit by bit
+        shifted = jnp.concatenate([flat[:, k:], flat[:, :k]], axis=1)
+        flat = jnp.where((off[:, None] & k) != 0, shifted, flat)
+    return flat[:, :nwin]
 
 
 # ---------------------------------------------------------------------------
@@ -424,15 +441,16 @@ def _chunk_body(
     nb = jnp.where(in_chunk, npa_row[r], 0)
 
     bi = jax.lax.broadcasted_iota(jnp.int32, (R_pad, nblk), 1)
-    pa = jnp.clip(base[:, None] + bi, 0, npa_pad - 1).reshape(-1)
     bm = bi < nb[:, None]  # mask blocks that belong to other rows / padding
-
-    pa_row, pa_lane = pa // 128, pa % 128
-    b2r = _pick_lane(jnp.take(pa_packed[0].reshape(-1, 128), pa_row, axis=0), pa_lane)
 
     nvb = 0 if pattern else np.dtype(b_dtype).itemsize // 4
     ws_b = _fold_ws(W if pattern else (1 + nvb) * W)
     Gb = 128 // ws_b
+
+    # each row's pa indices are consecutive: windowed fetch, not per-pa gather
+    base = jnp.clip(base, 0, npa_pad - 1)
+    b2r = _extract_window(pa_packed[0].reshape(-1, 128), base, nblk).reshape(-1)
+    b2r = jnp.clip(b2r, 0, b2_packed.shape[0] * Gb - 1)  # window overrun rows
     g = _pick_group(jnp.take(b2_packed, b2r // Gb, axis=0), b2r % Gb, ws_b)
     col = g[:, :W]
     if pattern:
@@ -442,7 +460,7 @@ def _chunk_body(
     else:
         avbits = jnp.stack(
             [
-                _pick_lane(jnp.take(ch.reshape(-1, 128), pa_row, axis=0), pa_lane)
+                _extract_window(ch.reshape(-1, 128), base, nblk).reshape(-1)
                 for ch in pa_packed[1:]
             ],
             axis=1,
