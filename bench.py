@@ -91,16 +91,25 @@ def bench_kernels(A, P, k, chip):
     record("spmv_csr", t, fl=2.0 * A.nnz, sol=rlv)
     extras["spmv_csr_gnnz_per_s"] = round(A.nnz / (t.median_ms * 1e-3) / 1e9, 3)
 
+    from spmm_tpu.ops.roofline import spmm_attainable, spmv_attainable
+
     E = ell_pack(A).device()
     extras["ell_padding_factor"] = round(E.padded_nnz / max(A.nnz, 1), 3)
     t = measure_device_loop(
         lambda c, E: norm(ell_spmm(E, c)), B0, (E,), name="spmm_ell_k128", iters=8
     )
     record("spmm_ell_k128", t)
+    # attainable = measured-primitive bound (one B-row gather per padded nnz)
+    extras["spmm_ell_k128_att_frac"] = round(
+        spmm_attainable(E.padded_nnz, m, k) / (t.median_ms * 1e-3), 3
+    )
     t = measure_device_loop(
         lambda c, E: norm(ell_spmv(E, c)), x0, (E,), name="spmv_ell", iters=8
     )
     record("spmv_ell", t, fl=2.0 * A.nnz, sol=rlv)
+    extras["spmv_ell_att_frac"] = round(
+        spmv_attainable(E.padded_nnz) / (t.median_ms * 1e-3), 3
+    )
 
     # tall-skinny k=32 (BASELINE config 3 benches k=32 and k=128)
     B32 = B0[:, :32]
@@ -198,6 +207,16 @@ def bench_spgemm(A, chip):
     extras["spgemm_gflops"] = round(2.0 * expand / (ms * 1e-3) / 1e9, 2)
     extras["spgemm_mnnz_out_per_s"] = round(out_nnz / (ms * 1e-3) / 1e6, 1)
     extras["spgemm_sol_frac"] = round(rl.efficiency(ms * 1e-3), 3)
+    # measured-primitive attainable bound for the slab-ESC algorithm class
+    from spmm_tpu.ops.roofline import spgemm_attainable
+    from spmm_tpu.ops.slab_spgemm import DEFAULT_CLASSES, DEFAULT_SEG_W, _round_up, _sizing
+
+    W = DEFAULT_SEG_W
+    cl = tuple(sorted({_round_up(c, W) for c in DEFAULT_CLASSES}))
+    npa, _, _, _ = _sizing(A, A, W, cl)
+    extras["spgemm_att_frac"] = round(
+        spgemm_attainable(npa, npa * W, A.nnz) / (ms * 1e-3), 3
+    )
     extras["spgemm_out_nnz"] = out_nnz
     return extras
 

@@ -83,6 +83,55 @@ def spmv_roofline(nnz: int, m: int, n: int, **kw) -> Roofline:
     return spmm_roofline(nnz, m, n, 1, **kw)
 
 
+@dataclasses.dataclass(frozen=True)
+class MeasuredRates:
+    """Measured TPU primitive rates (benchmarks/primitives.py, v5e) — the
+    second, ALGORITHM-AWARE bound.  The analytic Roofline assumes peak-HBM
+    streaming, but v5e charges random gathers per ROW (~width-independent)
+    and scatters per element; kernels built on those primitives cannot beat
+    the primitive rates however well they stream.  ``attainable`` bounds
+    below count each kernel's irreducible primitive invocations at these
+    rates — the honest denominator for gather-bound sparse ops."""
+
+    row_gather_rows_s: float = 1.1e8  # aligned 2-D row gather, any width
+    scatter_elems_s: float = 1.1e8  # segment_sum / .at[] set
+    scalar_gather_s: float = 1.35e8  # x[idx]
+    sort_batched_s: float = 8e9  # minor-axis lax.sort, width 32-512
+    sort_global_s: float = 3e8  # 1-D lax.sort
+    elementwise_gbs: float = 600e9  # fused VPU passes, bytes/s
+
+
+V5E_RATES = MeasuredRates()
+
+
+def spmm_attainable(nnz_padded_rows: int, m: int, k: int,
+                    rates: MeasuredRates = V5E_RATES) -> float:
+    """Attainable seconds for gather-formulated SpMM: one B-row gather per
+    (padded) nonzero + streaming the (m, k) output."""
+    return nnz_padded_rows / rates.row_gather_rows_s + (
+        2.0 * m * k * 4
+    ) / rates.elementwise_gbs
+
+
+def spmv_attainable(nnz_padded: int, rates: MeasuredRates = V5E_RATES) -> float:
+    """Attainable seconds for gather-formulated SpMV: one scalar x-gather
+    per (padded) nonzero."""
+    return nnz_padded / rates.scalar_gather_s
+
+
+def spgemm_attainable(npa: int, slots: int, nnz_b: int,
+                      rates: MeasuredRates = V5E_RATES) -> float:
+    """Attainable seconds for slab-ESC SpGEMM: one table-row gather per pa
+    (the expansion must be gathered), one batched sort + merge pass over the
+    padded slots (x2 for the compaction sort), one nnz(B)-element scatter to
+    build the segment table."""
+    return (
+        npa / rates.row_gather_rows_s
+        + 2.0 * slots / rates.sort_batched_s
+        + nnz_b / rates.scatter_elems_s
+    )
+
+
 def spgemm_roofline(expand: int, nnz_a: int, nnz_b: int, nnz_out: int, *,
                     bytes_val=4, bytes_idx=4, chip: ChipSpec | None = None) -> Roofline:
     """ESC SpGEMM: ``expand`` partial products (= FLOPs/2).
