@@ -119,14 +119,14 @@ def bench_kernels(A, P, k, chip):
     record("spmm_ell_k32", t, fl=2.0 * A.nnz * 32, sol=spmm_roofline(A.nnz, m, n, 32, chip=chip))
 
     if P is not None:
-        from spmm_tpu.ops.blocked import blocked_exec_view
+        from spmm_tpu.ops.blocked import blocked_slab_view, blocked_spmm_slab
 
         Pd = P.device()
-        view = blocked_exec_view(Pd)  # pack-once / multiply-many
+        view = blocked_slab_view(Pd)  # pack-once / multiply-many (v8 slabs)
         t = measure_device_loop(
-            lambda c, Pd, v0, v1: norm(blocked_spmm_xla(Pd, c, view=(v0, v1))),
+            lambda c, Pd, v: norm(blocked_spmm_slab(Pd, c, v)),
             B0,
-            (Pd, view[0], view[1]),
+            (Pd, view),
             name="spmm_blocked_k128",
             iters=8,
         )

@@ -83,6 +83,99 @@ def blocked_spmm_xla(
     return y_final[jnp.asarray(P.row_inv)]
 
 
+def blocked_slab_view(P: BlockedCSR):
+    """Pack-once v8-SLAB execution view — the fast consumer of the packed
+    format.  The 8-row interleave (slot ``base + 8e + r``) means each group's
+    packed block reshapes DIRECTLY to a dense (L, 8) tile, so groups of equal
+    L multiply as one batched einsum (the reference's v8 layout used exactly
+    as intended, SURVEY.md §3.3).  Buckets groups by length; leftover rows
+    become a sorted gather+segment-sum stream; a single precomputed gather
+    un-permutes the concatenated parts to original row order.
+
+    Returns ``(buckets, rem, order_map)``:
+      buckets: list of (d3 (G,L,8) values, c3 (G,L,8) GLOBAL col ids);
+      rem: (cols, vals, seg_ids) for non-group rows;
+      order_map: (nrow,) concat position of each ORIGINAL row.
+    """
+    import numpy as np
+
+    h_gl = np.asarray(P.group_len, np.int64)
+    h_gn = np.asarray(P.group_nnz, np.int64)
+    h_grow = np.asarray(P.group_row, np.int64)
+    indptr = np.asarray(P.indptr, np.int64)
+    nrow = P.nrow
+    nnz = P.nnz
+
+    gcols_full = _global_cols(P)  # (nnz_pad,) device, computed once
+    data_full = jnp.asarray(P.data)
+
+    buckets = []
+    order_map_final = np.empty(nrow, np.int64)
+    off = 0
+    for L in np.unique(h_gl):
+        ids = np.nonzero(h_gl == L)[0]
+        G = len(ids)
+        pos = (h_gn[ids][:, None] + np.arange(8 * int(L))[None, :]).reshape(-1)
+        posd = jnp.asarray(pos, jnp.int32)
+        d3 = jnp.take(data_full, posd).reshape(G, int(L), 8)
+        c3 = jnp.take(gcols_full, posd).reshape(G, int(L), 8)
+        buckets.append((d3, c3))
+        rows8 = h_grow[ids][:, None] + np.arange(8)[None, :]  # (G, 8)
+        order_map_final[rows8.reshape(-1)] = off + np.arange(G * 8)
+        off += G * 8
+
+    # non-group rows (incl. empty): sorted stream, segment ids = row rank
+    h_rg = np.asarray(P.row_group, np.int64)
+    nongroup = np.nonzero(h_rg < 0)[0]
+    rank = np.full(nrow, -1, np.int64)
+    rank[nongroup] = np.arange(len(nongroup))
+    order_map_final[nongroup] = off + rank[nongroup]
+    lens = indptr[1:] - indptr[:-1]
+    row_of_pos = np.repeat(np.arange(nrow), lens)
+    rem_mask = h_rg[row_of_pos] < 0
+    rem_pos = np.nonzero(rem_mask)[0]
+    rem_seg = rank[row_of_pos[rem_pos]]
+    rp = jnp.asarray(rem_pos, jnp.int32)
+    # n_nongroup is NOT stored (an int leaf would trace under jit and break
+    # num_segments); consumers derive it from static shapes:
+    # nrow - 8 * sum(bucket group counts)
+    rem = (
+        jnp.take(gcols_full, rp),
+        jnp.take(data_full, rp),
+        jnp.asarray(rem_seg, jnp.int32),
+    )
+    # original row i sits at final position row_inv[i], whose concat slot is
+    # order_map_final[row_inv[i]]
+    inv = np.asarray(P.row_inv, np.int64)
+    order_map = jnp.asarray(order_map_final[inv], jnp.int32)
+    return jax.block_until_ready((tuple(buckets), rem, order_map))
+
+
+def blocked_spmm_slab(
+    P: BlockedCSR, B: jax.Array, view, *, accum_dtype=jnp.float32
+) -> jax.Array:
+    """Y = unpack(P) @ B via the v8-slab view (pack once, multiply many) —
+    dense (L, 8) tiles per group batch + sorted leftover stream.  Rows
+    return in ORIGINAL order."""
+    hi = jax.lax.Precision.HIGHEST
+    buckets, rem, order_map = view
+    k = B.shape[-1]
+    parts = []
+    for d3, c3 in buckets:
+        G, L, _ = d3.shape
+        g = jnp.take(B, c3.reshape(-1), axis=0).astype(accum_dtype).reshape(G, L, 8, k)
+        yb = jnp.einsum("gle,glek->gek", d3.astype(accum_dtype), g, precision=hi)
+        parts.append(yb.reshape(G * 8, k))
+    cols, vals, seg = rem
+    n_nongroup = order_map.shape[0] - sum(d3.shape[0] * 8 for d3, _ in buckets)
+    contrib = jnp.take(B, cols, axis=0).astype(accum_dtype) * vals.astype(accum_dtype)[:, None]
+    parts.append(
+        jax.ops.segment_sum(contrib, seg, num_segments=n_nongroup, indices_are_sorted=True)
+    )
+    ys = jnp.concatenate(parts, axis=0)
+    return jnp.take(ys, order_map, axis=0)
+
+
 def blocked_spmm(P: BlockedCSR, B: jax.Array, **kw) -> jax.Array:
     """Dispatcher for the packed-format SpMM.
 

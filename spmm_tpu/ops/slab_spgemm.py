@@ -126,7 +126,11 @@ def _pick_group(g, grp, ws):
     S = g.shape[0]
     g3 = g.reshape(S, 128 // ws, ws)
     io = jax.lax.broadcasted_iota(jnp.int32, g3.shape[:2], 1)
-    return jnp.sum(jnp.where((io == grp[:, None])[:, :, None], g3, 0), axis=1)
+    # dtype pinned: under enable_x64 jnp.sum promotes int32 to int64, which
+    # silently doubles the element size the downstream bitcast relies on
+    return jnp.sum(
+        jnp.where((io == grp[:, None])[:, :, None], g3, 0), axis=1, dtype=g.dtype
+    )
 
 
 def _extract_window(table128, start, nwin):

@@ -130,3 +130,22 @@ def test_sddmm_matches_dense():
     np.testing.assert_allclose(
         np.asarray(C2.data[: A.nnz]), ref * np.asarray(A.data[: A.nnz]), rtol=1e-4, atol=1e-5
     )
+
+
+def test_blocked_spmm_slab_view():
+    """The v8-slab consumer (dense (L,8) tiles per group batch) matches the
+    per-nonzero formulation and scipy, in original row order."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from spmm_tpu.config import Config
+    from spmm_tpu.formats.synthetic import webgraph_like
+    from spmm_tpu.ops.blocked import blocked_slab_view, blocked_spmm_slab
+    from spmm_tpu.preprocess import preprocess
+
+    A = webgraph_like(3000, 18000, seed=17)
+    P = preprocess(A, Config(region_budget=1024, panel_rows=512)).device()
+    view = blocked_slab_view(P)
+    B = np.random.default_rng(3).standard_normal((3000, 16)).astype(np.float32)
+    Y = np.asarray(blocked_spmm_slab(P, jnp.asarray(B), view))
+    np.testing.assert_allclose(Y, A.to_scipy() @ B, rtol=1e-4, atol=1e-4)
