@@ -104,7 +104,6 @@ def blocked_slab_view(P: BlockedCSR):
     h_grow = np.asarray(P.group_row, np.int64)
     indptr = np.asarray(P.indptr, np.int64)
     nrow = P.nrow
-    nnz = P.nnz
 
     gcols_full = _global_cols(P)  # (nnz_pad,) device, computed once
     data_full = jnp.asarray(P.data)

@@ -558,15 +558,22 @@ def spgemm_slab_csr(
     B_dev: CSR | None = None,
     nnz_pad: int | None = None,
     pattern: bool | None = None,
+    sizing=None,
 ):
     """C = A @ B as a DEVICE-RESIDENT padded CSR — chainable into further
     device ops (SpMM, another SpGEMM) without host transfers.  Requires no
     heavy-tail rows (raise the class ceiling or use :func:`spgemm_slab`).
     ``nnz_pad`` defaults to the padded-expansion bound (safe upper bound on
-    the output nnz); pass a tighter bound to save memory."""
+    the output nnz); pass a tighter bound to save memory.  ``sizing``: a
+    precomputed ``_sizing`` result to avoid re-running the O(nnz) pass."""
+    W = seg_w
+    classes_n = tuple(sorted({_round_up(c, W) for c in classes}))
+    if sizing is None:
+        sizing = _sizing(A, B, W, classes_n)
     outs, tail_rows, _ = spgemm_slab_device(
         A, B, classes=classes, seg_w=seg_w, slot_budget=slot_budget,
         accum_dtype=accum_dtype, A_dev=A_dev, B_dev=B_dev, pattern=pattern,
+        sizing=sizing,
     )
     if len(tail_rows):
         raise ValueError(
@@ -575,9 +582,7 @@ def spgemm_slab_csr(
         )
     if nnz_pad is None:
         # padded expansion bound: every output nnz is at least one partial
-        W = seg_w
-        npa, _, _, _ = _sizing(A, B, W, tuple(sorted({_round_up(c, W) for c in classes})))
-        nnz_pad = _round_up(npa * W, 1024)
+        nnz_pad = _round_up(sizing[0] * W, 1024)
     data, indices, indptr, knnz = _compact_to_csr(
         tuple(o[0] for o in outs),
         tuple(o[1] for o in outs),
@@ -653,6 +658,7 @@ def spgemm_slab_device(
     A_dev: CSR | None = None,
     B_dev: CSR | None = None,
     pattern: bool | None = None,
+    sizing=None,
 ):
     """Device-resident SpGEMM: returns (chunk outputs, tail row ids, plan).
     Chunk outputs are device arrays (rows, cols_u, vals_u, nuniq) per call —
@@ -662,7 +668,8 @@ def spgemm_slab_device(
     covering plan + stream + every class chunk (single dispatch).  With a
     plan, the phases run as separate dispatches (incremental / test use).
     ``pattern=None`` auto-detects all-ones values (reference semantics) and
-    drops the value channels from the device program."""
+    drops the value channels from the device program.  ``sizing``: a
+    precomputed ``_sizing`` result (avoids re-running the O(nnz) pass)."""
     if plan is not None:
         sched, tail_start = _chunk_schedule(
             plan.classes, plan.class_counts, plan.slot_budget
@@ -701,7 +708,7 @@ def spgemm_slab_device(
     if pattern is None:
         pattern = _is_pattern(A) and _is_pattern(B)
     A_dev, B_dev = (A_dev or A), (B_dev or B)
-    npa, nsegB, cls, counts = _sizing(A, B, W, classes)
+    npa, nsegB, cls, counts = sizing if sizing is not None else _sizing(A, B, W, classes)
     sched, tail_start = _chunk_schedule(classes, counts, slot_budget)
     max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
     rows_sorted, outs = _fused_exec(
@@ -759,7 +766,7 @@ def spgemm_slab(
     # the device kernel's int32 budget (the >=100M-nnz multi-host regime)
     W = seg_w
     try:
-        npa_est, _, _, _ = _sizing(A, B, W, tuple(sorted({_round_up(c, W) for c in classes})))
+        sizing = _sizing(A, B, W, tuple(sorted({_round_up(c, W) for c in classes})))
     except _ExpansionTooLarge as e:
         # huge products: uniform row pieces through ONE compiled program
         # (recursive halving would recompile per piece size).  Start the
@@ -782,13 +789,13 @@ def spgemm_slab(
     # (data+indices, ~8 B/slot) fits comfortably next to the chunk outputs;
     # past this, host assembly (pull each chunk, free it) has the lower peak
     _CSR_COMPACT_MAX = 1 << 26
-    if as_csr and npa_est * W <= _CSR_COMPACT_MAX:
+    if as_csr and sizing[0] * W <= _CSR_COMPACT_MAX:
         # fast path: compact on device, transfer only the CSR arrays
         # (~out_nnz * 8 B instead of the padded slabs)
         try:
             Cd = spgemm_slab_csr(
                 A, B, classes=classes, seg_w=seg_w, slot_budget=slot_budget,
-                accum_dtype=accum_dtype, pattern=pattern,
+                accum_dtype=accum_dtype, pattern=pattern, sizing=sizing,
             )
             h = Cd.host()
             return CSR(
@@ -802,36 +809,17 @@ def spgemm_slab(
             pass  # heavy-tail rows: fall through to the host-assembly path
     outs, tail_rows, _ = spgemm_slab_device(
         A, B, classes=classes, seg_w=seg_w, slot_budget=slot_budget,
-        accum_dtype=accum_dtype, pattern=pattern,
+        accum_dtype=accum_dtype, pattern=pattern, sizing=sizing,
     )
 
-    out_rows, out_cols, out_vals = [], [], []
-    outs = list(outs)
-    while outs:  # consume-and-free: chunk device buffers release as we pull
-        r, cols_u, vals_u, nuniq = outs.pop(0)
-        nu = np.asarray(nuniq)
-        L = cols_u.shape[1]
-        mask = np.arange(L)[None, :] < nu[:, None]
-        out_rows.append(np.repeat(np.asarray(r, np.int64), nu))
-        out_cols.append(np.asarray(cols_u)[mask].astype(np.int64))
-        out_vals.append(np.asarray(vals_u)[mask])
-        del r, cols_u, vals_u, nuniq
-
+    out_rows, out_cols, out_vals = _pull_chunks(outs)
     if len(tail_rows):
-        sub = _take_rows(A.host(), np.asarray(tail_rows, np.int64))
-        from spmm_tpu.ops.spgemm import spgemm as spgemm_sorted
-
-        # the global-sort fallback accumulates at the input dtype; upcast so
-        # tail rows match the slab rows' accum_dtype precision
-        npdt = np.dtype(jnp.dtype(accum_dtype).name)
-        sub = dataclasses.replace(sub, data=np.asarray(sub.data, npdt))
-        Bc = dataclasses.replace(B.host(), data=np.asarray(B.host().data, npdt))
-        Ct = spgemm_sorted(sub, Bc, as_csr=False)
-        out_rows.append(
-            np.asarray(tail_rows, np.int64)[np.asarray(Ct.row[: Ct.nnz], dtype=np.int64)]
+        tr, tc, tv = _tail_products(
+            A.host(), np.asarray(tail_rows, np.int64), B.host(), accum_dtype
         )
-        out_cols.append(np.asarray(Ct.col[: Ct.nnz], dtype=np.int64))
-        out_vals.append(np.asarray(Ct.data[: Ct.nnz]))
+        out_rows.append(tr)
+        out_cols.append(tc)
+        out_vals.append(tv)
 
     rows = np.concatenate(out_rows) if out_rows else np.zeros(0, np.int64)
     cols = np.concatenate(out_cols) if out_cols else np.zeros(0, np.int64)
@@ -1008,17 +996,7 @@ def spgemm_slab_big(
             del data, indices, indptr, rows_sorted, outs
             continue
 
-        rows_l, cols_l, vals_l = [], [], []
-        outs = list(outs)
-        while outs:  # pull-and-free per chunk
-            r, cols_u, vals_u, nuniq = outs.pop(0)
-            nu = np.asarray(nuniq)
-            L = cols_u.shape[1]
-            mask = np.arange(L)[None, :] < nu[:, None]
-            rows_l.append(np.repeat(np.asarray(r, np.int64), nu))
-            cols_l.append(np.asarray(cols_u)[mask].astype(np.int64))
-            vals_l.append(np.asarray(vals_u)[mask])
-            del r, cols_u, vals_u, nuniq
+        rows_l, cols_l, vals_l = _pull_chunks(outs)
         base = int(counts[p, : len(classes)].sum())
         trows = np.asarray(rows_sorted)[base : base + nt].astype(np.int64)
         sub_full = CSR(
@@ -1028,16 +1006,10 @@ def spgemm_slab_big(
             shape=(rows_pad, A.shape[1]),
             nnz=int(nnz_s[p]),
         )
-        from spmm_tpu.ops.spgemm import spgemm as spgemm_sorted
-
-        npdt = np.dtype(jnp.dtype(accum_dtype).name)
-        sub_t = _take_rows(sub_full, trows)
-        sub_t = dataclasses.replace(sub_t, data=np.asarray(sub_t.data, npdt))
-        Bc = dataclasses.replace(Bh, data=np.asarray(np.asarray(Bh.data), npdt))
-        Ct = spgemm_sorted(sub_t, Bc, as_csr=False)
-        rows_l.append(trows[np.asarray(Ct.row[: Ct.nnz], np.int64)])
-        cols_l.append(np.asarray(Ct.col[: Ct.nnz], np.int64))
-        vals_l.append(np.asarray(Ct.data[: Ct.nnz]))
+        tr, tc, tv = _tail_products(sub_full, trows, Bh, accum_dtype)
+        rows_l.append(tr)
+        cols_l.append(tc)
+        vals_l.append(tv)
         del rows_sorted
         Cp = _assemble_csr(
             np.concatenate(rows_l), np.concatenate(cols_l), np.concatenate(vals_l),
@@ -1067,6 +1039,43 @@ def spgemm_slab_big(
         indptr=indptr_full[: A.nrow + 1],
         shape=(A.nrow, B.ncol),
         nnz=int(indptr_full[A.nrow]),
+    )
+
+
+
+def _pull_chunks(outs):
+    """Pull slab chunk outputs to host as (rows, cols, vals) lists, freeing
+    each chunk's device buffers as it is consumed."""
+    rows_l, cols_l, vals_l = [], [], []
+    outs = list(outs)
+    while outs:
+        r, cols_u, vals_u, nuniq = outs.pop(0)
+        nu = np.asarray(nuniq)
+        L = cols_u.shape[1]
+        mask = np.arange(L)[None, :] < nu[:, None]
+        rows_l.append(np.repeat(np.asarray(r, np.int64), nu))
+        cols_l.append(np.asarray(cols_u)[mask].astype(np.int64))
+        vals_l.append(np.asarray(vals_u)[mask])
+        del r, cols_u, vals_u, nuniq
+    return rows_l, cols_l, vals_l
+
+
+def _tail_products(H: CSR, trows: np.ndarray, Bh: CSR, accum_dtype):
+    """Heavy-tail rows via the global-sort fallback: products of ``H``'s rows
+    ``trows`` with B, upcast to ``accum_dtype`` to match the slab rows.
+    Returns (rows [ids into trows' ROW SPACE of H], cols, vals)."""
+    from spmm_tpu.ops.spgemm import spgemm as spgemm_sorted
+
+    npdt = np.dtype(jnp.dtype(accum_dtype).name)
+    sub = _take_rows(H, trows)
+    sub = dataclasses.replace(sub, data=np.asarray(sub.data, npdt))
+    Bc = dataclasses.replace(Bh, data=np.asarray(np.asarray(Bh.data), npdt))
+    Ct = spgemm_sorted(sub, Bc, as_csr=False)
+    rows = trows[np.asarray(Ct.row[: Ct.nnz], np.int64)]
+    return (
+        rows,
+        np.asarray(Ct.col[: Ct.nnz], np.int64),
+        np.asarray(Ct.data[: Ct.nnz]),
     )
 
 

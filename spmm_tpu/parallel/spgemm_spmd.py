@@ -258,8 +258,7 @@ def spgemm_dist_spmd(
             cols_l.append(cu[s][mask].astype(np.int64))
             vals_l.append(vu[s][mask])
     if tail_per_shard.sum():
-        from spmm_tpu.ops.slab_spgemm import _take_rows
-        from spmm_tpu.ops.spgemm import spgemm as spgemm_sorted
+        from spmm_tpu.ops.slab_spgemm import _tail_products
 
         rs = np.asarray(rows_sorted)
         base = counts[:, : len(classes)].sum(axis=1)
@@ -276,17 +275,10 @@ def spgemm_dist_spmd(
                 shape=(S.rows_per_shard, S.shape[1]),
                 nnz=int(iptr[s, -1]),
             )
-            import dataclasses as _dc
-
-            npdt = np.dtype(jnp.dtype(accum_dtype).name)
-            sub_t = _take_rows(sub_full, trows)
-            sub_t = _dc.replace(sub_t, data=np.asarray(sub_t.data, npdt))
-            Bh2 = B.host()
-            Bc = _dc.replace(Bh2, data=np.asarray(Bh2.data, npdt))
-            Ct = spgemm_sorted(sub_t, Bc, as_csr=False)
-            rows_l.append(trows[np.asarray(Ct.row[: Ct.nnz], np.int64)] + row_starts[s])
-            cols_l.append(np.asarray(Ct.col[: Ct.nnz], np.int64))
-            vals_l.append(np.asarray(Ct.data[: Ct.nnz]))
+            tr, tc, tv = _tail_products(sub_full, trows, B.host(), accum_dtype)
+            rows_l.append(tr + row_starts[s])
+            cols_l.append(tc)
+            vals_l.append(tv)
 
     rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
     cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
