@@ -58,9 +58,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.pack_blocked.restype = LL
         lib.pack_blocked.argtypes = [
             PLL, I32, ctypes.c_char_p, LL, LL, LL,
-            PLL, PLL, I32, PLL, LL, I32, I32,
+            I32, PLL, I32, PLL, LL, I32, I32,
             ctypes.c_char_p, I32, I32, PLL,
         ]
+        lib.perm_algebra.restype = None
+        lib.perm_algebra.argtypes = [PLL, PLL, PLL, LL, I32, I32, PLL]
         _lib = lib
     except OSError:
         _lib = None
@@ -150,7 +152,7 @@ def pack_blocked(
     indptr_orig = np.ascontiguousarray(indptr_orig, dtype=np.int64)
     indices = np.ascontiguousarray(indices, dtype=np.int32)
     data = np.ascontiguousarray(data)
-    row_perm = np.ascontiguousarray(row_perm, dtype=np.int64)
+    row_perm = np.ascontiguousarray(row_perm, dtype=np.int32)
     indptr_final = np.ascontiguousarray(indptr_final, dtype=np.int64)
     row_group = np.ascontiguousarray(row_group, dtype=np.int32)
     region_bounds = np.ascontiguousarray(region_bounds, dtype=np.int64)
@@ -171,7 +173,7 @@ def pack_blocked(
         esz,
         nrow,
         ncol,
-        _i64p(row_perm),
+        _i32p(row_perm),
         _i64p(indptr_final),
         _i32p(row_group),
         _i64p(region_bounds),
@@ -186,6 +188,27 @@ def pack_blocked(
     if total < 0:  # element size the native kernel doesn't specialize
         return None
     return packed, cols_local, gather[:total].copy(), counts[:nregions]
+
+
+def perm_algebra(perm1: np.ndarray, perm3: np.ndarray, orig_indptr: np.ndarray):
+    """Fused compose/invert/final-indptr (reference wbsort.h:16-67 algebra in
+    one native pass).  Returns (row_perm int32, row_inv int32,
+    indptr_final int64) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    perm1 = np.ascontiguousarray(perm1, dtype=np.int64)
+    perm3 = np.ascontiguousarray(perm3, dtype=np.int64)
+    orig_indptr = np.ascontiguousarray(orig_indptr, dtype=np.int64)
+    nrow = len(perm1)
+    row_perm = np.empty(nrow, dtype=np.int32)
+    row_inv = np.empty(nrow, dtype=np.int32)
+    indptr_final = np.empty(nrow + 1, dtype=np.int64)
+    lib.perm_algebra(
+        _i64p(perm1), _i64p(perm3), _i64p(orig_indptr), nrow,
+        _i32p(row_perm), _i32p(row_inv), _i64p(indptr_final),
+    )
+    return row_perm, row_inv, indptr_final
 
 
 def panel_sort(lens: np.ndarray, panel_bounds: np.ndarray, group_width: int, max_len: int):

@@ -63,6 +63,28 @@ long long region_split(const long long* indptr, const int* cols, long long nrow,
   return nb;
 }
 
+// Fused permutation algebra (reference wbsort.h:16-34,58-67): compose the
+// two row permutations, invert, and build the final-order CSR indptr in ONE
+// O(nrow) pass (replaces four numpy gather/scatter/cumsum passes).
+//   perm1  (nrow) i64: bitmap-reorder permutation (pos -> original row)
+//   perm3  (nrow) i64: panel-sort permutation (final pos -> bitmap pos)
+// Outputs: row_perm32[f] = original row at final position f,
+//          row_inv32[orig] = final position, indptr_final (nrow+1).
+void perm_algebra(const long long* perm1, const long long* perm3,
+                  const long long* orig_indptr, long long nrow,
+                  int* row_perm32, int* row_inv32, long long* indptr_final) {
+  long long acc = 0;
+  indptr_final[0] = 0;
+  for (long long f = 0; f < nrow; ++f) {
+    if (f + 8 < nrow) __builtin_prefetch(&perm1[perm3[f + 8]]);
+    long long orig = perm1[perm3[f]];
+    row_perm32[f] = (int)orig;
+    row_inv32[orig] = (int)f;
+    acc += orig_indptr[orig + 1] - orig_indptr[orig];
+    indptr_final[f + 1] = acc;
+  }
+}
+
 // Same scan but visiting rows in permuted order (row_perm[r] = original row),
 // so the reordered matrix never needs materializing before the split.
 long long region_split_permuted(const long long* indptr, const int* cols,
@@ -157,7 +179,7 @@ long long relabel_first_touch(const int* cols, long long nnz,
 template <typename T>
 static long long pack_blocked_impl(
     const long long* indptr_orig, const int* indices, const T* data,
-    long long nrow, long long ncol, const long long* row_perm,
+    long long nrow, long long ncol, const int* row_perm,
     const long long* indptr_final, const int* row_group,
     const long long* region_bounds, long long nregions, int* map,
     int* mapstamp, T* packed_data, int* cols_local, int* gather_out,
@@ -241,7 +263,7 @@ extern "C" {
 
 long long pack_blocked(const long long* indptr_orig, const int* indices,
                        const char* data, long long esz, long long nrow,
-                       long long ncol, const long long* row_perm,
+                       long long ncol, const int* row_perm,
                        const long long* indptr_final, const int* row_group,
                        const long long* region_bounds, long long nregions,
                        int* map, int* mapstamp, char* packed_data,

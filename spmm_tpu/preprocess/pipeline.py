@@ -122,16 +122,25 @@ def preprocess(A: CSR, config: Config | None = None) -> BlockedCSR:
         )
 
     # --- permutation algebra (reference wbsort.h:58-67,16-34) -----------------
-    row_perm = np.asarray(perm1, dtype=np.int64)[ps.perm]  # final_pos -> original row
-    row_inv = np.empty(nrow, dtype=np.int32)  # original row -> final_pos
-    row_inv[row_perm] = np.arange(nrow, dtype=np.int32)  # int32 end-to-end: the
-    # container stores int32 and the int64 detour cost two full copies
-
-    # --- pass 3c: gather nonzeros into final row order -------------------------
+    # one fused native pass: compose, invert, final-order indptr (int32
+    # perms end-to-end — the container stores int32)
     orig_indptr = np.asarray(h.indptr, dtype=np.int64)
-    lens_final = (orig_indptr[1:] - orig_indptr[:-1])[row_perm]
-    indptr_final = np.zeros(nrow + 1, dtype=np.int64)
-    np.cumsum(lens_final, out=indptr_final[1:])
+    res_pa = None
+    try:
+        from spmm_tpu import native
+
+        res_pa = native.perm_algebra(perm1, ps.perm, orig_indptr)
+    except Exception:
+        res_pa = None
+    if res_pa is not None:
+        row_perm, row_inv, indptr_final = res_pa
+    else:
+        row_perm = np.asarray(perm1, dtype=np.int64)[ps.perm]  # final -> original
+        row_inv = np.empty(nrow, dtype=np.int32)  # original row -> final_pos
+        row_inv[row_perm] = np.arange(nrow, dtype=np.int32)
+        lens_final = (orig_indptr[1:] - orig_indptr[:-1])[row_perm]
+        indptr_final = np.zeros(nrow + 1, dtype=np.int64)
+        np.cumsum(lens_final, out=indptr_final[1:])
     nnz = A.nnz
     grouped = ps.is_grouped  # per final row
     W = cfg.group_width
