@@ -34,7 +34,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_preprocess(A, cfg, iters=5):  # min-of-5: the 1-CPU host is noisy
+def bench_preprocess(A, cfg, iters=9):  # min-of-9: the 1-CPU host is noisy
     from spmm_tpu.preprocess import preprocess
 
     times = []

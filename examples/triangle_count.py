@@ -48,9 +48,8 @@ def _masked_sum(A, C) -> float:
     c_dat = np.asarray(C.data[: C.nnz])
     # row id per A nonzero, then position of (row, col) inside C's row
     rows = np.repeat(np.arange(A.nrow, dtype=np.int64), np.diff(a_iptr))
-    lo = c_iptr[rows]
-    # searchsorted within each row's slice via global keys (rows share no key
-    # range after offsetting columns by row * ncol)
+    # searchsorted via global keys (rows share no key range after offsetting
+    # columns by row * ncol)
     ncol = np.int64(A.shape[1])
     keys_c = np.repeat(np.arange(C.nrow, dtype=np.int64), np.diff(c_iptr)) * ncol + c_ind
     keys_a = rows * ncol + a_ind

@@ -26,7 +26,10 @@ class Config:
     #: target rows per panel before nnz balancing (reference 2048, v8sort.h:58)
     panel_rows: int = 2048
     #: vector-group width — 8 rows = TPU fp32 sublane count
-    #: (reference v8 width, v8sort.h:64,194)
+    #: (reference v8 width, v8sort.h:64,194).  The packed-format CONSUMERS
+    #: (unpack_to_csr, ops/blocked.py) implement the reference's 8-row
+    #: interleave contract; non-8 values exercise the preprocessing passes
+    #: but the resulting pack is not consumable by them
     group_width: int = 8
     #: rows longer than this are not v8-grouped (reference cap 32, v8sort.h:21-23)
     max_group_row_len: int = 32

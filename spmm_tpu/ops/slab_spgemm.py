@@ -118,7 +118,11 @@ def _fold_ws(w: int) -> int:
     for d in (1, 2, 4, 8, 16, 32, 64, 128):
         if d >= w:
             return d
-    raise ValueError(f"segment width {w} exceeds one 128-lane row")
+    raise ValueError(
+        f"folded segment width {w} exceeds one 128-lane row: with value "
+        "channels the limit is seg_w <= 128 // (1 + value_words) "
+        "(64 for fp32, 42 for fp64); pattern mode allows seg_w up to 128"
+    )
 
 
 def _pick_group(g, grp, ws):
@@ -296,9 +300,19 @@ def _plan_body(
     return b2_packed, pa_packed, pa_row_base, npa_row, rows_sorted
 
 
-class _ExpansionTooLarge(Exception):
-    """Internal: padded expansion exceeds the int32 device budget —
-    spgemm_slab responds by splitting A's rows."""
+class _ExpansionTooLarge(ValueError):
+    """Padded expansion exceeds the single-program device budget.
+    ``spgemm_slab`` catches this and reroutes through the uniform-piece path
+    (``spgemm_slab_big``); from the lower-level entry points
+    (``spgemm_slab_csr`` / ``spgemm_slab_device`` / ``spgemm_plan``) it
+    propagates as a ValueError with this remedy in the message."""
+
+    def __str__(self):
+        return (
+            f"padded expansion {self.args[0]} slots exceeds the per-program "
+            f"budget ({_MAX_EXP_PAD}); use spgemm_slab() (it pieces the "
+            "product through spgemm_slab_big) or shard A first"
+        )
 
 
 def _sizing(A: CSR, B: CSR, W: int, classes):
@@ -941,7 +955,6 @@ def spgemm_slab_big(
         jnp.asarray(Bh.indices, jnp.int32),
         jnp.asarray(Bh.data),
     )
-    row_starts = np.asarray(S.row_starts, np.int64)
     s_ind = np.asarray(S.indices)
     s_dat = np.asarray(S.data)
     s_iptr = np.asarray(S.indptr)

@@ -56,7 +56,12 @@ def _per_shard_sizing(S: ShardedCSR, B: CSR, W: int, classes, b_iptr_per_shard=N
     """Host-side sizing per shard (native one-pass when available).
     ``b_iptr_per_shard``: optional (nsh, nrowB_loc+1) per-shard local B indptr
     (the halo path); default is one replicated B."""
-    b_iptr_rep = np.asarray(B.host().indptr, dtype=np.int64)
+    # lazy: the halo path never uses the replicated indptr (and B may be
+    # device-resident — .host() would be a full D2H)
+    b_iptr_rep = (
+        None if b_iptr_per_shard is not None
+        else np.asarray(B.host().indptr, dtype=np.int64)
+    )
     cls_all, counts_all, npa_max, nnz_s = [], [], 0, []
     ind = np.asarray(S.indices)
     iptr = np.asarray(S.indptr, dtype=np.int64)

@@ -134,6 +134,8 @@ def preprocess(A: CSR, config: Config | None = None) -> BlockedCSR:
         res_pa = None
     if res_pa is not None:
         row_perm, row_inv, indptr_final = res_pa
+        # the numpy pack fallback below needs per-final-row lengths too
+        lens_final = indptr_final[1:] - indptr_final[:-1]
     else:
         row_perm = np.asarray(perm1, dtype=np.int64)[ps.perm]  # final -> original
         row_inv = np.empty(nrow, dtype=np.int32)  # original row -> final_pos

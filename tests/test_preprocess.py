@@ -218,3 +218,26 @@ def test_blocked_spmm_empty_rows_matrix():
     B = np.random.default_rng(1).standard_normal((600, 8)).astype(np.float32)
     Y = np.asarray(blocked_spmm_xla(P, jnp.asarray(B)))
     np.testing.assert_allclose(Y, A.to_scipy() @ B, rtol=1e-4, atol=1e-4)
+
+
+def test_preprocess_numpy_pack_fallback(monkeypatch):
+    """Regression: native perm_algebra + numpy pack fallback crashed on an
+    unbound lens_final (the fallback fires when native pack_blocked declines,
+    e.g. an unspecialized element size)."""
+    import numpy as np
+
+    from spmm_tpu import native
+    from spmm_tpu.config import Config
+    from spmm_tpu.formats.synthetic import webgraph_like
+    from spmm_tpu.preprocess import preprocess
+    from spmm_tpu.preprocess.pipeline import unpack_to_csr
+
+    monkeypatch.setattr(native, "pack_blocked", lambda *a, **k: None)
+    A = webgraph_like(2000, 12000, seed=9)
+    P = preprocess(A, Config(region_budget=1024))
+    # the format stays invertible through the numpy pack path
+    U = unpack_to_csr(P)
+    S = A.to_scipy().tocsr()
+    S.sum_duplicates()
+    S.sort_indices()
+    assert (U.to_scipy().tocsr() != S).nnz == 0
