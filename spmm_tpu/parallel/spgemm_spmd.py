@@ -135,6 +135,89 @@ def _uniform_schedule(classes, counts, slot_budget):
     return sched, starts, cnts, offsets[:, len(classes)].astype(np.int64)
 
 
+
+def _detect_shard_pattern(S: ShardedCSR, B: CSR) -> bool:
+    """All-ones value detection over host shards (never D2H-scans device
+    shards — see ops.slab_spgemm._is_pattern)."""
+    from spmm_tpu.ops.slab_spgemm import _is_pattern
+
+    if not isinstance(S.data, np.ndarray):
+        return False
+    siptr = np.asarray(S.indptr, np.int64)
+    return _is_pattern(B) and all(
+        bool(np.all(S.data[s, : int(siptr[s, -1])] == 1)) for s in range(S.n_shards)
+    )
+
+
+def _make_spmd_run(mesh, axis, schedule, kw, W, accum_dtype, pattern, b_sharded):
+    """The one SPMD program both distribution strategies execute: per-shard
+    plan + uniform runtime-scalar chunk schedule.  ``b_sharded`` selects
+    whether the three B arrays carry a leading shard axis (halo path) or are
+    replicated."""
+    spec_sh = P(axis)
+    b_spec = spec_sh if b_sharded else P()
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_sh,) * 6 + (b_spec,) * 3,
+        out_specs=(spec_sh, tuple((spec_sh,) * 4 for _ in schedule)),
+        check_vma=False,
+    )
+    def run(indptr, ind, dat, cls_s, nnz_sc, sc_tab, b_indptr, b_ind, b_dat):
+        indptr, ind, dat = indptr[0], ind[0], dat[0]
+        cls_s, nnz_sc, sc_tab = cls_s[0], nnz_sc[0], sc_tab[0]
+        if b_sharded:
+            b_indptr, b_ind, b_dat = b_indptr[0], b_ind[0], b_dat[0]
+        (b2p, pap, prb, npr, rows_sorted) = _plan_body(
+            indptr, ind, dat, b_indptr, b_ind, b_dat, cls_s, nnz=nnz_sc[0],
+            pattern=pattern, **kw
+        )
+        a_dt, b_dt = str(dat.dtype), str(b_dat.dtype)
+        outs = []
+        for i, (L, R_pad) in enumerate(schedule):
+            outs.append(
+                _chunk_body(
+                    b2p, pap, rows_sorted, prb, npr,
+                    sc_tab[0, i], sc_tab[1, i], L=L, R_pad=R_pad, W=W,
+                    a_dtype=a_dt, b_dtype=b_dt, accum_dtype=accum_dtype,
+                    pattern=pattern,
+                )
+            )
+        # re-add the leading shard axis for out_specs
+        outs = tuple(tuple(x[None] for x in o) for o in outs)
+        return rows_sorted[None], outs
+
+    return run
+
+
+def _pull_shard_chunks(outs, row_starts, nsh):
+    """Masked pull of sharded chunk outputs -> (rows, cols, vals) lists with
+    global row ids."""
+    rows_l, cols_l, vals_l = [], [], []
+    for r, cols_u, vals_u, nuniq in outs:
+        r = np.asarray(r)  # (nsh, R_pad)
+        nu = np.asarray(nuniq)
+        cu = np.asarray(cols_u)
+        vu = np.asarray(vals_u)
+        L = cu.shape[-1]
+        for s in range(nsh):
+            mask = np.arange(L)[None, :] < nu[s][:, None]
+            rows_l.append(np.repeat(r[s].astype(np.int64), nu[s]) + row_starts[s])
+            cols_l.append(cu[s][mask].astype(np.int64))
+            vals_l.append(vu[s][mask])
+    return rows_l, cols_l, vals_l
+
+
+def _finish_global_csr(rows_l, cols_l, vals_l, shape):
+    from spmm_tpu.ops.slab_spgemm import _assemble_csr
+
+    rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
+    cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
+    vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.float32)
+    return _assemble_csr(rows, cols, vals, shape)
+
+
 def spgemm_dist_spmd(
     S: ShardedCSR,
     B: CSR,
@@ -163,15 +246,7 @@ def spgemm_dist_spmd(
     classes = tuple(sorted({_round_up(c, W) for c in classes}))
     nsh = S.n_shards
     if pattern is None:
-        from spmm_tpu.ops.slab_spgemm import _is_pattern
-
-        if isinstance(S.data, np.ndarray):  # never D2H-scan device shards
-            siptr = np.asarray(S.indptr, np.int64)
-            pattern = _is_pattern(B) and all(
-                bool(np.all(S.data[s, : int(siptr[s, -1])] == 1)) for s in range(nsh)
-            )
-        else:
-            pattern = False
+        pattern = _detect_shard_pattern(S, B)
     cls, counts, npa_max, nnz_s = _per_shard_sizing(S, B, W, classes)
     sched, starts, cnts, _ = _uniform_schedule(counts=counts[:, : len(classes) + 1],
                                                classes=classes, slot_budget=slot_budget)
@@ -191,39 +266,8 @@ def spgemm_dist_spmd(
         nrow_pad=rows_pad + max_chunk,
     )
     schedule = tuple(sched)
-
-    spec_sh = P(axis)  # leading shard axis
-    spec_rep = P()  # replicated
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(spec_sh, spec_sh, spec_sh, spec_sh, spec_sh, spec_sh,
-                  spec_rep, spec_rep, spec_rep),
-        out_specs=(spec_sh, tuple((spec_sh,) * 4 for _ in schedule)),
-        check_vma=False,
-    )
-    def run(indptr, ind, dat, cls_s, nnz_sc, sc_tab, b_indptr, b_ind, b_dat):
-        indptr, ind, dat = indptr[0], ind[0], dat[0]
-        cls_s, nnz_sc, sc_tab = cls_s[0], nnz_sc[0], sc_tab[0]
-        (b2p, pap, prb, npr, rows_sorted) = _plan_body(
-            indptr, ind, dat, b_indptr, b_ind, b_dat, cls_s, nnz=nnz_sc[0],
-            pattern=pattern, **kw
-        )
-        a_dt, b_dt = str(dat.dtype), str(b_dat.dtype)
-        outs = []
-        for i, (L, R_pad) in enumerate(schedule):
-            outs.append(
-                _chunk_body(
-                    b2p, pap, rows_sorted, prb, npr,
-                    sc_tab[0, i], sc_tab[1, i], L=L, R_pad=R_pad, W=W,
-                    a_dtype=a_dt, b_dtype=b_dt, accum_dtype=accum_dtype,
-                    pattern=pattern,
-                )
-            )
-        # re-add the leading shard axis for out_specs
-        outs = tuple(tuple(x[None] for x in o) for o in outs)
-        return rows_sorted[None], outs
+    run = _make_spmd_run(mesh, axis, schedule, kw, W, accum_dtype, pattern,
+                         b_sharded=False)
 
     sharding = NamedSharding(mesh, P(axis))
     dev = lambda a: jax.device_put(np.asarray(a), sharding)
@@ -250,18 +294,7 @@ def spgemm_dist_spmd(
 
     # ---- host assembly into a global CSR -----------------------------------
     row_starts = np.asarray(S.row_starts, np.int64)
-    rows_l, cols_l, vals_l = [], [], []
-    for r, cols_u, vals_u, nuniq in outs:
-        r = np.asarray(r)  # (nsh, R_pad)
-        nu = np.asarray(nuniq)
-        cu = np.asarray(cols_u)
-        vu = np.asarray(vals_u)
-        L = cu.shape[-1]
-        for s in range(nsh):
-            mask = np.arange(L)[None, :] < nu[s][:, None]
-            rows_l.append(np.repeat(r[s].astype(np.int64), nu[s]) + row_starts[s])
-            cols_l.append(cu[s][mask].astype(np.int64))
-            vals_l.append(vu[s][mask])
+    rows_l, cols_l, vals_l = _pull_shard_chunks(outs, row_starts, nsh)
     if tail_per_shard.sum():
         from spmm_tpu.ops.slab_spgemm import _tail_products
 
@@ -285,12 +318,7 @@ def spgemm_dist_spmd(
             cols_l.append(tc)
             vals_l.append(tv)
 
-    rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
-    cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
-    vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.float32)
-    from spmm_tpu.ops.slab_spgemm import _assemble_csr
-
-    return _assemble_csr(rows, cols, vals, (S.shape[0], B.ncol))
+    return _finish_global_csr(rows_l, cols_l, vals_l, (S.shape[0], B.ncol))
 
 
 # ---------------------------------------------------------------------------
@@ -386,16 +414,7 @@ def spgemm_dist_halo(
     nsh = S.n_shards
     A_rel, lb_iptr, lb_ind, lb_dat, halo_rows, halo_counts = partition_halo(S, B)
     if pattern is None:
-        from spmm_tpu.ops.slab_spgemm import _is_pattern
-
-        if isinstance(S.data, np.ndarray):
-            siptr = np.asarray(S.indptr, np.int64)
-            pattern = _is_pattern(B) and all(
-                bool(np.all(np.asarray(S.data)[s, : int(siptr[s, -1])] == 1))
-                for s in range(nsh)
-            )
-        else:
-            pattern = False
+        pattern = _detect_shard_pattern(S, B)
 
     cls, counts, npa_max, nnz_s = _per_shard_sizing(
         A_rel, B, W, classes, b_iptr_per_shard=lb_iptr
@@ -422,36 +441,8 @@ def spgemm_dist_halo(
         nrow_pad=rows_pad + max_chunk,
     )
     schedule = tuple(sched)
-    spec_sh = P(axis)
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(spec_sh,) * 9,
-        out_specs=(spec_sh, tuple((spec_sh,) * 4 for _ in schedule)),
-        check_vma=False,
-    )
-    def run(indptr, ind, dat, cls_s, nnz_sc, sc_tab, b_indptr, b_ind, b_dat):
-        indptr, ind, dat = indptr[0], ind[0], dat[0]
-        cls_s, nnz_sc, sc_tab = cls_s[0], nnz_sc[0], sc_tab[0]
-        b_indptr, b_ind, b_dat = b_indptr[0], b_ind[0], b_dat[0]
-        (b2p, pap, prb, npr, rows_sorted) = _plan_body(
-            indptr, ind, dat, b_indptr, b_ind, b_dat, cls_s, nnz=nnz_sc[0],
-            pattern=pattern, **kw
-        )
-        a_dt, b_dt = str(dat.dtype), str(b_dat.dtype)
-        outs = []
-        for i, (L, R_pad) in enumerate(schedule):
-            outs.append(
-                _chunk_body(
-                    b2p, pap, rows_sorted, prb, npr,
-                    sc_tab[0, i], sc_tab[1, i], L=L, R_pad=R_pad, W=W,
-                    a_dtype=a_dt, b_dtype=b_dt, accum_dtype=accum_dtype,
-                    pattern=pattern,
-                )
-            )
-        outs = tuple(tuple(x[None] for x in o) for o in outs)
-        return rows_sorted[None], outs
+    run = _make_spmd_run(mesh, axis, schedule, kw, W, accum_dtype, pattern,
+                         b_sharded=True)
 
     sharding = NamedSharding(mesh, P(axis))
     dev = lambda a: jax.device_put(np.asarray(a), sharding)
@@ -470,21 +461,5 @@ def spgemm_dist_halo(
 
     # host assembly (columns are global; same shape as the replicated path)
     row_starts = np.asarray(S.row_starts, np.int64)
-    rows_l, cols_l, vals_l = [], [], []
-    for r, cols_u, vals_u, nuniq in outs:
-        r = np.asarray(r)
-        nu = np.asarray(nuniq)
-        cu = np.asarray(cols_u)
-        vu = np.asarray(vals_u)
-        L = cu.shape[-1]
-        for s in range(nsh):
-            mask = np.arange(L)[None, :] < nu[s][:, None]
-            rows_l.append(np.repeat(r[s].astype(np.int64), nu[s]) + row_starts[s])
-            cols_l.append(cu[s][mask].astype(np.int64))
-            vals_l.append(vu[s][mask])
-    rows = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int64)
-    cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
-    vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.float32)
-    from spmm_tpu.ops.slab_spgemm import _assemble_csr
-
-    return _assemble_csr(rows, cols, vals, (S.shape[0], B.ncol))
+    rows_l, cols_l, vals_l = _pull_shard_chunks(outs, row_starts, nsh)
+    return _finish_global_csr(rows_l, cols_l, vals_l, (S.shape[0], B.ncol))
