@@ -218,6 +218,22 @@ def bench_spgemm(A, chip):
         spgemm_attainable(npa, npa * W, A.nnz) / (ms * 1e-3), 3
     )
     extras["spgemm_out_nnz"] = out_nnz
+
+    # projected N=8 scaling-efficiency cap: SPMD SpGEMM (config 5) has no
+    # inter-shard communication, so efficiency = mean/max per-shard expansion
+    # (the uniform schedule waits for the heaviest shard).  The preprocessing
+    # reorder + uniform row split is what controls this balance.
+    try:
+        from spmm_tpu.parallel.partition import partition_rows
+        from spmm_tpu.parallel.spgemm_spmd import _per_shard_sizing
+
+        S8 = partition_rows(A, 8)
+        _, counts8, _, _ = _per_shard_sizing(S8, A, W, cl)
+        # per-shard padded expansion = sum over classes of count * class size
+        exp8 = (counts8[:, : len(cl)] * np.asarray(cl)[None, :]).sum(axis=1)
+        extras["spgemm_shard_balance_8"] = round(float(exp8.mean() / exp8.max()), 3)
+    except Exception as e:
+        log("shard balance failed:", repr(e))
     return extras
 
 

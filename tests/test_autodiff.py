@@ -70,3 +70,30 @@ def test_ell_spmm_grad():
     S = A.to_scipy()
     ref = 2.0 * (S.T @ (S @ B0))
     np.testing.assert_allclose(g, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_grad_through_blocked_slab_consumer():
+    """Gradients w.r.t. the dense operand flow through the v8-slab consumer
+    (einsum buckets + segment-sum leftover + un-permute gather)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from spmm_tpu.config import Config
+    from spmm_tpu.formats.synthetic import webgraph_like
+    from spmm_tpu.ops.blocked import blocked_slab_view, blocked_spmm_slab
+    from spmm_tpu.preprocess import preprocess
+
+    A = webgraph_like(1500, 9000, seed=23)
+    P = preprocess(A, Config(region_budget=512, panel_rows=256)).device()
+    view = blocked_slab_view(P)
+    B = jnp.asarray(np.random.default_rng(6).standard_normal((1500, 8)).astype(np.float32))
+
+    def loss(B):
+        return jnp.sum(blocked_spmm_slab(P, B, view) ** 2)
+
+    g = jax.grad(loss)(B)
+    # analytic: d/dB sum((A B)^2) = 2 A^T (A B)
+    S = A.to_scipy()
+    ref = 2.0 * (S.T @ (S @ np.asarray(B)))
+    np.testing.assert_allclose(np.asarray(g), ref, rtol=2e-3, atol=2e-3)
