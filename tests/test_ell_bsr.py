@@ -131,3 +131,12 @@ def test_bsr_spmv_fp32_fp64_parity():
         Bs64 = csr_to_bsr(A64, (8, 128))
         y64 = np.asarray(bsr_spmv(Bs64, jnp.asarray(x)))
         np.testing.assert_allclose(y64, S64 @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_ell_spmm_wide_k():
+    """k > 128 (multiple of the lane tile) through the wide path."""
+    A = webgraph_like(1200, 8000, seed=25)
+    E = ell_pack(A).device()
+    B = np.random.default_rng(7).standard_normal((1200, 256)).astype(np.float32)
+    Y = np.asarray(ell_spmm(E, jnp.asarray(B)))
+    np.testing.assert_allclose(Y, A.to_scipy() @ B, rtol=2e-4, atol=2e-4)

@@ -182,3 +182,13 @@ def test_big_path_with_tail_rows(monkeypatch):
     Ac = CSR.from_scipy(A)
     C = mod.spgemm_slab(Ac, Ac, classes=(4, 8, 16))
     _check(C, _oracle(A, A))
+
+
+def test_rmat_axa():
+    """Graph500-style RMAT input (heavier skew than the web-graph generator,
+    duplicate edges summed at ingest) through the full slab path."""
+    from spmm_tpu.formats.synthetic import rmat_matrix
+
+    A = rmat_matrix(11, edge_factor=8, seed=19)  # 2048 nodes, ~16K edges
+    C = spgemm_slab(A, A)
+    _check(C, _oracle(A.to_scipy(), A.to_scipy()))
