@@ -245,6 +245,13 @@ def _plan_body(
     b2_packed = flat.reshape(-1, 128)
 
     # --- pa enumeration (kept A-nonzero x B-segment) -------------------------
+    # KNOWN COST: brow_tab below is a (nrowB, 4) table and therefore
+    # tile-padded 32x (~0.5 GB/M rows of B, transient).  Folding it like B2
+    # would cut capacity but not gather traffic (each fetch already reads a
+    # full 512 B tile row), and pair-interleaved constructions materialize
+    # padded intermediates (measured: stack+reshape of 10M pairs = 5 GB
+    # temp) — the huge-B regime is instead handled by piece streaming
+    # (spgemm_slab_big).
     # pa_b2row is a ramp (+1 per pa) with per-a rebasing to bseg_off[j]:
     # again a telescoping-delta cumsum (one nnz-sized scatter), and pa_aval
     # is a per-a step function of the A values — same trick on the value
