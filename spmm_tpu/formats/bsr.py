@@ -7,6 +7,10 @@ block is exactly one VREG tile and block products run on the MXU.
 Every block row is guaranteed at least one block (a zero block is inserted
 for empty block rows) so the Pallas kernel's revisit-accumulate scheme always
 initializes every output tile.
+
+The 8-row block granularity is the same one the reference's v8 packing
+targets for SIMD (reference: PreProcessing/v8sort.h:64,194;
+serial_newblock_clock.cpp:366-399; SURVEY.md §2.7).
 """
 
 from __future__ import annotations

@@ -5,6 +5,11 @@ the slab values, reduce densely over L (no scatter); concatenate slabs in
 sorted-row order; one gather un-permutes to the original row order.  The
 leftover long rows use the segment-sum path (they are few).
 
+The length-class slabs are the TPU recast of the reference's per-panel
+row-length sort (reference: PreProcessing/v8sort.h:152-232, which groups
+equal-length rows for SIMD-8 processing; here equal-length rows batch into
+dense (R, L) tiles, SURVEY.md §2.6).
+
 HBM traffic ≈ padded_nnz·(k+2)·4 + 2·m·k·4 — within ~1.3x of the gather-bound
 speed of light for unstructured SpMM.
 """
