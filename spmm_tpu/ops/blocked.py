@@ -175,6 +175,41 @@ def blocked_spmm_slab(
     return jnp.take(ys, order_map, axis=0)
 
 
+def blocked_chain_spmv(
+    P: BlockedCSR, x: jax.Array, iters: int, *, accum_dtype=jnp.float32
+) -> jax.Array:
+    """y = A^iters @ x on a SQUARE matrix via the self-referential gather map
+    — the exact runtime contract the reference's ``seq_input`` exists for
+    (reference wbsort.h:81-95, SURVEY.md §2.8/§3.3): relabeled column ``j``
+    of region ``r`` reads the iterate at FINAL position
+    ``gather_rows[region_gather[r] + j]``, so chained products never leave
+    the permuted order — the permutations are applied exactly once at entry
+    (``row_perm``) and once at exit (``row_inv``)."""
+    from spmm_tpu.ops.segments import boundary_segments
+
+    if P.shape[0] != P.shape[1]:
+        raise ValueError("seq_input chaining is defined for square matrices only")
+    nnz_pad = P.data.shape[0]
+    out_rows = _final_out_rows(P)
+    # per packed nonzero: its slot in the region-concatenated relabel space
+    reg = boundary_segments(jnp.asarray(P.region_nnz), nnz_pad)
+    slot = jnp.asarray(P.region_gather)[reg] + jnp.asarray(P.cols_local)
+    slot = jnp.clip(slot, 0, P.ndistinct - 1)
+    gr = jnp.asarray(P.gather_rows)
+    vals = jnp.asarray(P.data).astype(accum_dtype)
+
+    x_f = jnp.take(x.astype(accum_dtype), jnp.asarray(P.row_perm))  # to final order
+
+    def step(y_f, _):
+        panel = jnp.take(y_f, gr)  # compacted per-region RHS panel (seq_input)
+        contrib = vals * jnp.take(panel, slot)
+        y_next = jax.ops.segment_sum(contrib, out_rows, num_segments=P.nrow)
+        return y_next, None
+
+    y_f, _ = jax.lax.scan(step, x_f, None, length=iters)
+    return jnp.take(y_f, jnp.asarray(P.row_inv))  # back to original order
+
+
 def blocked_spmm(P: BlockedCSR, B: jax.Array, **kw) -> jax.Array:
     """Dispatcher for the packed-format SpMM.
 

@@ -149,3 +149,24 @@ def test_blocked_spmm_slab_view():
     B = np.random.default_rng(3).standard_normal((3000, 16)).astype(np.float32)
     Y = np.asarray(blocked_spmm_slab(P, jnp.asarray(B), view))
     np.testing.assert_allclose(Y, A.to_scipy() @ B, rtol=1e-4, atol=1e-4)
+
+
+def test_blocked_chain_spmv_seq_input():
+    """The self-referential seq_input contract (SURVEY.md §2.8): chained
+    A^k x products through the packed format stay in final order and gather
+    their per-region panels via gather_rows; matches dense chaining."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from spmm_tpu.config import Config
+    from spmm_tpu.formats.synthetic import webgraph_like
+    from spmm_tpu.ops.blocked import blocked_chain_spmv
+    from spmm_tpu.preprocess import preprocess
+
+    A = webgraph_like(1400, 8400, seed=27)
+    P = preprocess(A, Config(region_budget=512, panel_rows=256)).device()
+    x = np.random.default_rng(8).standard_normal(1400).astype(np.float32)
+    y = np.asarray(blocked_chain_spmv(P, jnp.asarray(x), iters=3))
+    S = A.to_scipy()
+    ref = S @ (S @ (S @ x))
+    np.testing.assert_allclose(y, ref, rtol=2e-3, atol=2e-3)
