@@ -4,9 +4,13 @@ from spmm_tpu.parallel.spmm_dist import (
     spmm_dist,
     spmm_dist_ring,
     spmv_dist,
-    spgemm_dist,
 )
-from spmm_tpu.parallel.spgemm_spmd import spgemm_dist_halo, spgemm_dist_spmd
+from spmm_tpu.parallel.spgemm_spmd import (
+    spgemm_dist_csr,
+    spgemm_dist_halo,
+    spgemm_dist_halo_exchange,
+    spgemm_dist_spmd,
+)
 
 __all__ = [
     "make_mesh",
@@ -15,7 +19,8 @@ __all__ = [
     "spmm_dist",
     "spmm_dist_ring",
     "spmv_dist",
-    "spgemm_dist",
+    "spgemm_dist_csr",
     "spgemm_dist_halo",
+    "spgemm_dist_halo_exchange",
     "spgemm_dist_spmd",
 ]

@@ -47,6 +47,7 @@ from spmm_tpu.ops.slab_spgemm import (
     DEFAULT_SLOT_BUDGET,
     _bucket_pow2,
     _chunk_body,
+    _pick_b2_ws,
     _plan_body,
     _round_up,
 )
@@ -126,7 +127,7 @@ def _uniform_schedule(classes, counts, slot_budget):
         rows_per_chunk = max(slot_budget // L, 8)
         for lo in range(0, n, rows_per_chunk):
             cap = min(rows_per_chunk, n - lo)
-            R_pad = min(_bucket_pow2(cap), _round_up(cap, 1 << 16))
+            R_pad = min(_bucket_pow2(cap), _round_up(cap, 1 << 10))
             sched.append((L, R_pad))
             starts.append(offsets[:, ci] + lo)
             cnts.append(np.clip(counts[:, ci] - lo, 0, rows_per_chunk))
@@ -149,26 +150,64 @@ def _detect_shard_pattern(S: ShardedCSR, B: CSR) -> bool:
     )
 
 
-def _make_spmd_run(mesh, axis, schedule, kw, W, accum_dtype, pattern, b_sharded):
-    """The one SPMD program both distribution strategies execute: per-shard
+def _make_spmd_run(mesh, axis, schedule, kw, W, accum_dtype, pattern, b_sharded,
+                   compact_nnz_pad=None, exchange=None):
+    """The one SPMD program every distribution strategy executes: per-shard
     plan + uniform runtime-scalar chunk schedule.  ``b_sharded`` selects
     whether the three B arrays carry a leading shard axis (halo path) or are
-    replicated."""
+    replicated.  ``compact_nnz_pad``: when set, each shard compacts its chunk
+    outputs to a local CSR *inside* the program (``_compact_to_csr``) and the
+    result stays row-sharded on device — no host assembly, no padded-slab
+    D2H.  ``exchange``: when set (the runtime-halo path), B arrives
+    row-BLOCK sharded and each shard's working set is fetched in-program via
+    an ``all_to_all`` collective over the mesh axis (SURVEY.md §2.12's halo
+    exchange); the three extra operands are the host-precomputed
+    (send_src, recv_gather, loc_iptr) maps."""
     spec_sh = P(axis)
     b_spec = spec_sh if b_sharded else P()
+    n_extra = 3 if exchange else 0
+    if compact_nnz_pad is None:
+        out_specs = (spec_sh, tuple((spec_sh,) * 4 for _ in schedule))
+    else:
+        out_specs = (spec_sh, (spec_sh,) * 4)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(spec_sh,) * 6 + (b_spec,) * 3,
-        out_specs=(spec_sh, tuple((spec_sh,) * 4 for _ in schedule)),
+        in_specs=(spec_sh,) * 6 + (b_spec,) * 3 + (spec_sh,) * n_extra,
+        out_specs=out_specs,
         check_vma=False,
     )
-    def run(indptr, ind, dat, cls_s, nnz_sc, sc_tab, b_indptr, b_ind, b_dat):
+    def run(indptr, ind, dat, cls_s, nnz_sc, sc_tab, b_indptr, b_ind, b_dat,
+            *extra):
         indptr, ind, dat = indptr[0], ind[0], dat[0]
         cls_s, nnz_sc, sc_tab = cls_s[0], nnz_sc[0], sc_tab[0]
         if b_sharded:
             b_indptr, b_ind, b_dat = b_indptr[0], b_ind[0], b_dat[0]
+        if exchange:
+            # -- runtime halo exchange: pack owned B rows requested by each
+            # peer, swap via all_to_all (ICI on a real slice), gather the
+            # received owner-major blocks into this shard's local halo CSR.
+            send_src, recv_gather, loc_iptr = (x[0] for x in extra)
+            nsh = send_src.shape[0]
+            send_ind = jnp.take(b_ind, send_src.reshape(-1), mode="clip").reshape(
+                nsh, -1
+            )
+            got_ind = jax.lax.all_to_all(
+                send_ind, axis, split_axis=0, concat_axis=0, tiled=True
+            )
+            b_ind = jnp.take(got_ind.reshape(-1), recv_gather, mode="clip")
+            if pattern:
+                b_dat = jnp.ones(b_ind.shape, b_dat.dtype)  # values all 1.0
+            else:
+                send_dat = jnp.take(b_dat, send_src.reshape(-1), mode="clip").reshape(
+                    nsh, -1
+                )
+                got_dat = jax.lax.all_to_all(
+                    send_dat, axis, split_axis=0, concat_axis=0, tiled=True
+                )
+                b_dat = jnp.take(got_dat.reshape(-1), recv_gather, mode="clip")
+            b_indptr = loc_iptr
         (b2p, pap, prb, npr, rows_sorted) = _plan_body(
             indptr, ind, dat, b_indptr, b_ind, b_dat, cls_s, nnz=nnz_sc[0],
             pattern=pattern, **kw
@@ -181,8 +220,22 @@ def _make_spmd_run(mesh, axis, schedule, kw, W, accum_dtype, pattern, b_sharded)
                     b2p, pap, rows_sorted, prb, npr,
                     sc_tab[0, i], sc_tab[1, i], L=L, R_pad=R_pad, W=W,
                     a_dtype=a_dt, b_dtype=b_dt, accum_dtype=accum_dtype,
-                    pattern=pattern,
+                    pattern=pattern, b2_ws=kw.get("b2_ws"),
                 )
+            )
+        if compact_nnz_pad is not None:
+            from spmm_tpu.ops.slab_spgemm import _compact_to_csr
+
+            data, indices, out_iptr, knnz = _compact_to_csr(
+                tuple(o[0] for o in outs),
+                tuple(o[1] for o in outs),
+                tuple(o[2] for o in outs),
+                tuple(o[3] for o in outs),
+                nrow=kw["nrow"],
+                nnz_pad=compact_nnz_pad,
+            )
+            return rows_sorted[None], (
+                data[None], indices[None], out_iptr[None], knnz[None, None]
             )
         # re-add the leading shard axis for out_specs
         outs = tuple(tuple(x[None] for x in o) for o in outs)
@@ -216,6 +269,35 @@ def _finish_global_csr(rows_l, cols_l, vals_l, shape):
     cols = np.concatenate(cols_l) if cols_l else np.zeros(0, np.int64)
     vals = np.concatenate(vals_l) if vals_l else np.zeros(0, np.float32)
     return _assemble_csr(rows, cols, vals, shape)
+
+
+def _append_shard_tails(rows_sorted, counts, ncls, tail_per_shard, S, B,
+                        accum_dtype, row_starts, rows_l, cols_l, vals_l):
+    """Heavy-tail rows (padded expansion past the class ceiling) per shard:
+    products via the global-sort host fallback on the ORIGINAL (unrelabeled)
+    shard CSR against the full B, appended to the assembly lists in place."""
+    from spmm_tpu.ops.slab_spgemm import _tail_products
+
+    rs = np.asarray(rows_sorted)
+    base = counts[:, :ncls].sum(axis=1)
+    iptr = np.asarray(S.indptr, dtype=np.int64)
+    Bh = B.host()
+    for s in range(S.n_shards):
+        nt = int(tail_per_shard[s])
+        if not nt:
+            continue
+        trows = rs[s, int(base[s]) : int(base[s]) + nt].astype(np.int64)
+        sub_full = CSR(
+            data=np.asarray(S.data[s]),
+            indices=np.asarray(S.indices[s], np.int32),
+            indptr=iptr[s],
+            shape=(S.rows_per_shard, S.shape[1]),
+            nnz=int(iptr[s, -1]),
+        )
+        tr, tc, tv = _tail_products(sub_full, trows, Bh, accum_dtype)
+        rows_l.append(tr + row_starts[s])
+        cols_l.append(tc)
+        vals_l.append(tv)
 
 
 def spgemm_dist_spmd(
@@ -264,6 +346,7 @@ def spgemm_dist_spmd(
         nsegB_pad=_round_up(nsegB, 1024),
         nrow=rows_pad,
         nrow_pad=rows_pad + max_chunk,
+        b2_ws=_pick_b2_ws(W, pattern, np.dtype(B.data.dtype), _round_up(nsegB, 1024)),
     )
     schedule = tuple(sched)
     run = _make_spmd_run(mesh, axis, schedule, kw, W, accum_dtype, pattern,
@@ -296,29 +379,93 @@ def spgemm_dist_spmd(
     row_starts = np.asarray(S.row_starts, np.int64)
     rows_l, cols_l, vals_l = _pull_shard_chunks(outs, row_starts, nsh)
     if tail_per_shard.sum():
-        from spmm_tpu.ops.slab_spgemm import _tail_products
-
-        rs = np.asarray(rows_sorted)
-        base = counts[:, : len(classes)].sum(axis=1)
-        iptr = np.asarray(S.indptr, dtype=np.int64)
-        for s in range(nsh):
-            nt = int(tail_per_shard[s])
-            if not nt:
-                continue
-            trows = rs[s, int(base[s]) : int(base[s]) + nt].astype(np.int64)
-            sub_full = CSR(
-                data=np.asarray(S.data[s]),
-                indices=np.asarray(S.indices[s], np.int32),
-                indptr=iptr[s],
-                shape=(S.rows_per_shard, S.shape[1]),
-                nnz=int(iptr[s, -1]),
-            )
-            tr, tc, tv = _tail_products(sub_full, trows, B.host(), accum_dtype)
-            rows_l.append(tr + row_starts[s])
-            cols_l.append(tc)
-            vals_l.append(tv)
+        _append_shard_tails(
+            rows_sorted, counts, len(classes), tail_per_shard, S, B,
+            accum_dtype, row_starts, rows_l, cols_l, vals_l,
+        )
 
     return _finish_global_csr(rows_l, cols_l, vals_l, (S.shape[0], B.ncol))
+
+
+def spgemm_dist_csr(
+    S: ShardedCSR,
+    B: CSR,
+    mesh: Mesh,
+    *,
+    axis: str = "rows",
+    classes: Sequence[int] = DEFAULT_CLASSES,
+    seg_w: int = DEFAULT_SEG_W,
+    slot_budget: int = DEFAULT_SLOT_BUDGET,
+    accum_dtype=jnp.float32,
+    pattern: bool | None = None,
+) -> ShardedCSR:
+    """C = A @ B with the output kept **row-sharded on device**: every shard
+    compacts its chunk outputs to a local CSR inside the SPMD program
+    (``_compact_to_csr`` per shard — the distributed mirror of
+    ``spgemm_slab_csr``), so C never transits the host and chains directly
+    into further distributed ops.  Only per-shard nnz scalars are pulled.
+
+    Requires no heavy-tail rows (their products live outside the slabs);
+    raise the class ceiling or use :func:`spgemm_dist_spmd` for host
+    assembly with the tail fallback."""
+    W = seg_w
+    classes = tuple(sorted({_round_up(c, W) for c in classes}))
+    nsh = S.n_shards
+    if pattern is None:
+        pattern = _detect_shard_pattern(S, B)
+    cls, counts, npa_max, nnz_s = _per_shard_sizing(S, B, W, classes)
+    if counts[:, len(classes)].sum():
+        raise ValueError(
+            "device-resident output requires no heavy-tail rows; raise the "
+            "class ceiling or use spgemm_dist_spmd (host assembly)"
+        )
+    sched, starts, cnts, _ = _uniform_schedule(
+        counts=counts[:, : len(classes) + 1], classes=classes,
+        slot_budget=slot_budget,
+    )
+    Bh = B.host()
+    b_iptr = np.asarray(Bh.indptr, dtype=np.int64)
+    lenB = b_iptr[1:] - b_iptr[:-1]
+    nsegB = int(((lenB + W - 1) // W).sum())
+    max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
+    rows_pad = S.rows_per_shard
+    kw = dict(
+        W=W,
+        npa_pad=_round_up(npa_max, 1024),
+        nsegB_pad=_round_up(nsegB, 1024),
+        nrow=rows_pad,
+        nrow_pad=rows_pad + max_chunk,
+        b2_ws=_pick_b2_ws(W, pattern, np.dtype(B.data.dtype), _round_up(nsegB, 1024)),
+    )
+    nnz_pad = _round_up(npa_max * W, 1024)
+    run = _make_spmd_run(mesh, axis, tuple(sched), kw, W, accum_dtype, pattern,
+                         b_sharded=False, compact_nnz_pad=nnz_pad)
+
+    sharding = NamedSharding(mesh, P(axis))
+    dev = lambda a: jax.device_put(np.asarray(a), sharding)
+    sc_tab = np.stack([starts, cnts], axis=1)
+    _, (data, indices, indptr, knnz) = run(
+        dev(np.asarray(S.indptr, np.int32)),
+        dev(np.asarray(S.indices, np.int32)),
+        dev(np.asarray(S.data)),
+        dev(cls),
+        dev(nnz_s[:, None]),
+        dev(sc_tab),
+        jnp.asarray(Bh.indptr, jnp.int32),
+        jnp.asarray(Bh.indices, jnp.int32),
+        jnp.asarray(Bh.data),
+    )
+    total = int(np.asarray(knnz).sum())  # the only D2H: nsh scalars
+    return ShardedCSR(
+        data=data,
+        indices=indices,
+        indptr=indptr,
+        row_starts=np.asarray(S.row_starts, np.int32),
+        shape=(S.shape[0], B.ncol),
+        n_shards=nsh,
+        rows_per_shard=rows_pad,
+        nnz=total,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -423,12 +570,6 @@ def spgemm_dist_halo(
         counts=counts[:, : len(classes) + 1], classes=classes, slot_budget=slot_budget
     )
     tail_per_shard = counts[:, len(classes)]
-    if tail_per_shard.sum():
-        raise ValueError(
-            "halo path does not implement the heavy-tail fallback; raise the "
-            "class ceiling or use spgemm_dist_spmd"
-        )
-
     lenB_loc = lb_iptr[:, 1:] - lb_iptr[:, :-1]
     nsegB = int(((lenB_loc + W - 1) // W).sum(axis=1).max())
     max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
@@ -439,6 +580,7 @@ def spgemm_dist_halo(
         nsegB_pad=_round_up(nsegB, 1024),
         nrow=rows_pad,
         nrow_pad=rows_pad + max_chunk,
+        b2_ws=_pick_b2_ws(W, pattern, np.dtype(B.data.dtype), _round_up(nsegB, 1024)),
     )
     schedule = tuple(sched)
     run = _make_spmd_run(mesh, axis, schedule, kw, W, accum_dtype, pattern,
@@ -462,4 +604,173 @@ def spgemm_dist_halo(
     # host assembly (columns are global; same shape as the replicated path)
     row_starts = np.asarray(S.row_starts, np.int64)
     rows_l, cols_l, vals_l = _pull_shard_chunks(outs, row_starts, nsh)
+    if tail_per_shard.sum():
+        # heavy-tail fallback: rows past the class ceiling route through the
+        # global-sort host path against the FULL B (their working set is by
+        # definition unbounded — exactly the rows the halo restriction cannot
+        # bound); on power-law graphs they are a handful per shard
+        _append_shard_tails(
+            rows_sorted, counts, len(classes), tail_per_shard, S, B,
+            accum_dtype, row_starts, rows_l, cols_l, vals_l,
+        )
+    return _finish_global_csr(rows_l, cols_l, vals_l, (S.shape[0], B.ncol))
+
+
+# ---------------------------------------------------------------------------
+# runtime halo exchange: B row-BLOCK sharded, working sets fetched in-program
+# ---------------------------------------------------------------------------
+
+
+def _exchange_maps(halo_rows, b_part, b_iptr_global):
+    """Host metadata for the in-program halo exchange (O(halo nnz) ints —
+    the row DATA moves device-to-device, only these index maps are built on
+    host).
+
+    For each (owner t → requester s) pair: the flat element indices into
+    owner t's local B arrays covering the rows s requests, padded per pair to
+    a uniform Qe; and for each requester the gather map that compacts the
+    owner-major received buffer into its local halo CSR element order
+    (halo rows are sorted ascending, so owner blocks arrive in exactly local
+    row order — the compaction only removes per-pair padding)."""
+    nsh = b_part.n_shards
+    rb = b_part.rows_per_shard
+    lptr = np.asarray(b_part.indptr, np.int64)  # (nsh, rb+1) local offsets
+    lens_g = b_iptr_global[1:] - b_iptr_global[:-1]
+
+    pair_nnz = np.zeros((nsh, nsh), np.int64)
+    pair_rows = [[None] * nsh for _ in range(nsh)]
+    for s in range(nsh):
+        u = halo_rows[s]
+        own = (u // rb).astype(np.int64)
+        for t in np.unique(own):
+            rows_t = u[own == t]
+            pair_rows[s][int(t)] = rows_t
+            pair_nnz[s, int(t)] = int(lens_g[rows_t].sum())
+    Qe = max(int(pair_nnz.max()), 1)
+    Qe = _round_up(Qe, 128)
+
+    nnzB_pad_part = b_part.indices.shape[1]
+    send_src = np.full((nsh, nsh, Qe), nnzB_pad_part - 1, np.int32)
+    for t in range(nsh):
+        for s in range(nsh):
+            rows_t = pair_rows[s][t]
+            if rows_t is None:
+                continue
+            lr = rows_t - t * rb
+            lens = (lptr[t, lr + 1] - lptr[t, lr]).astype(np.int64)
+            nz = int(lens.sum())
+            if nz == 0:
+                continue
+            pos = np.arange(nz, dtype=np.int64)
+            st = np.zeros(len(lr) + 1, np.int64)
+            np.cumsum(lens, out=st[1:])
+            rof = np.searchsorted(st, pos, side="right") - 1
+            send_src[t, s, :nz] = (lptr[t, lr[rof]] + (pos - st[rof])).astype(
+                np.int32
+            )
+
+    loc_nnz = pair_nnz.sum(axis=1)
+    nnzB_loc_pad = _round_up(int(loc_nnz.max()), 128)
+    recv_gather = np.zeros((nsh, nnzB_loc_pad), np.int32)
+    for s in range(nsh):
+        pieces = [
+            np.arange(int(pair_nnz[s, t]), dtype=np.int32) + t * Qe
+            for t in range(nsh)
+            if pair_nnz[s, t]
+        ]
+        if pieces:
+            cat = np.concatenate(pieces)
+            recv_gather[s, : len(cat)] = cat
+    return send_src, recv_gather, nnzB_loc_pad
+
+
+def spgemm_dist_halo_exchange(
+    S: ShardedCSR,
+    B: CSR,
+    mesh: Mesh,
+    *,
+    axis: str = "rows",
+    classes: Sequence[int] = DEFAULT_CLASSES,
+    seg_w: int = DEFAULT_SEG_W,
+    slot_budget: int = DEFAULT_SLOT_BUDGET,
+    accum_dtype=jnp.float32,
+    pattern: bool | None = None,
+):
+    """C = A @ B with B **row-block sharded** and each shard's halo working
+    set fetched at runtime by an ``all_to_all`` collective INSIDE the SPMD
+    program (SURVEY.md §2.12's halo exchange; rides ICI on a real slice).
+
+    Unlike :func:`spgemm_dist_halo` — which builds every shard's full B
+    working set on the host and ships it at launch — no device ever holds
+    more than its own ``nnz(B)/n_shards`` block plus exchange buffers, and
+    the collective is visible in the compiled HLO.  In pattern mode only
+    column ids are exchanged (values are all 1.0 — half the wire traffic).
+    Returns a global host CSR; heavy-tail rows use the host fallback."""
+    from spmm_tpu.parallel.partition import partition_rows
+
+    W = seg_w
+    classes = tuple(sorted({_round_up(c, W) for c in classes}))
+    nsh = S.n_shards
+    A_rel, lb_iptr, _lb_ind, _lb_dat, halo_rows, halo_counts = partition_halo(S, B)
+    if pattern is None:
+        pattern = _detect_shard_pattern(S, B)
+
+    cls, counts, npa_max, nnz_s = _per_shard_sizing(
+        A_rel, B, W, classes, b_iptr_per_shard=lb_iptr
+    )
+    sched, starts, cnts, _ = _uniform_schedule(
+        counts=counts[:, : len(classes) + 1], classes=classes, slot_budget=slot_budget
+    )
+    tail_per_shard = counts[:, len(classes)]
+
+    # B row-block sharded: the owner layout the exchange pulls from
+    b_part = partition_rows(B, nsh)
+    Bh = B.host()
+    b_iptr_g = np.asarray(Bh.indptr, np.int64)
+    send_src, recv_gather, nnzB_loc_pad = _exchange_maps(
+        halo_rows, b_part, b_iptr_g
+    )
+    # loc_iptr rows cover nnzB_loc elements; pad rows stay at the last value
+    lenB_loc = lb_iptr[:, 1:] - lb_iptr[:, :-1]
+    nsegB = int(((lenB_loc + W - 1) // W).sum(axis=1).max())
+    max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
+    rows_pad = S.rows_per_shard
+    kw = dict(
+        W=W,
+        npa_pad=_round_up(npa_max, 1024),
+        nsegB_pad=_round_up(nsegB, 1024),
+        nrow=rows_pad,
+        nrow_pad=rows_pad + max_chunk,
+        b2_ws=_pick_b2_ws(W, pattern, np.dtype(B.data.dtype), _round_up(nsegB, 1024)),
+    )
+    run = _make_spmd_run(
+        mesh, axis, tuple(sched), kw, W, accum_dtype, pattern,
+        b_sharded=True, exchange=True,
+    )
+
+    sharding = NamedSharding(mesh, P(axis))
+    dev = lambda a: jax.device_put(np.asarray(a), sharding)
+    sc_tab = np.stack([starts, cnts], axis=1)
+    rows_sorted, outs = run(
+        dev(np.asarray(A_rel.indptr, np.int32)),
+        dev(np.asarray(A_rel.indices, np.int32)),
+        dev(np.asarray(A_rel.data)),
+        dev(cls),
+        dev(nnz_s[:, None]),
+        dev(sc_tab),
+        dev(np.asarray(b_part.indptr, np.int32)),
+        dev(np.asarray(b_part.indices, np.int32)),
+        dev(np.asarray(b_part.data)),
+        dev(send_src),
+        dev(recv_gather),
+        dev(lb_iptr.astype(np.int32)),
+    )
+
+    row_starts = np.asarray(S.row_starts, np.int64)
+    rows_l, cols_l, vals_l = _pull_shard_chunks(outs, row_starts, nsh)
+    if tail_per_shard.sum():
+        _append_shard_tails(
+            rows_sorted, counts, len(classes), tail_per_shard, S, B,
+            accum_dtype, row_starts, rows_l, cols_l, vals_l,
+        )
     return _finish_global_csr(rows_l, cols_l, vals_l, (S.shape[0], B.ncol))

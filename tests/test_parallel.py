@@ -9,7 +9,6 @@ from spmm_tpu.formats.synthetic import random_csr, webgraph_like
 from spmm_tpu.parallel import (
     make_mesh,
     partition_rows,
-    spgemm_dist,
     spmm_dist,
     spmm_dist_ring,
     spmv_dist,
@@ -65,19 +64,19 @@ def test_spmv_dist(mesh, mats):
     np.testing.assert_allclose(y[:, 0], A.to_scipy() @ x, rtol=1e-4, atol=1e-4)
 
 
-def test_spgemm_dist(mesh, mats):
-    import scipy.sparse as sp
+def test_spgemm_dist_spmd_fixture_mats(mesh, mats):
+    """SPMD SpGEMM on the shared fixture matrices (the host-loop spgemm_dist
+    this replaced is gone: one SPMD program supersedes per-shard dispatch)."""
+    from spmm_tpu.parallel import spgemm_dist_spmd
 
     A, S, _ = mats
-    outs = spgemm_dist(S, A, mesh)
+    C = spgemm_dist_spmd(S, A, mesh)
     refC = (A.to_scipy() @ A.to_scipy()).tocsr()
-    rows = np.concatenate(
-        [np.asarray(o.row[: o.nnz]) + i * S.rows_per_shard for i, o in enumerate(outs)]
-    )
-    cols = np.concatenate([np.asarray(o.col[: o.nnz]) for o in outs])
-    vals = np.concatenate([np.asarray(o.data[: o.nnz]) for o in outs])
-    got = sp.coo_matrix((vals, (rows, cols)), shape=(2000, 2000)).tocsr()
-    assert abs(got - refC).max() < 1e-4
+    refC.sum_duplicates()
+    refC.sort_indices()
+    assert C.nnz == refC.nnz
+    np.testing.assert_array_equal(np.asarray(C.indices[: C.nnz]), refC.indices)
+    np.testing.assert_allclose(np.asarray(C.data[: C.nnz]), refC.data, rtol=1e-4, atol=1e-4)
 
 
 def test_uneven_rows_and_empty_shards(mesh):
@@ -192,3 +191,122 @@ def test_spgemm_dist_halo_matches_scipy():
         assert C.nnz == ref.nnz
         np.testing.assert_array_equal(np.asarray(C.indices[: C.nnz]), ref.indices)
         np.testing.assert_allclose(np.asarray(C.data[: C.nnz]), ref.data, rtol=1e-5, atol=2e-5)
+
+
+def test_spgemm_dist_halo_tail_fallback():
+    """Halo SpGEMM on a power-law graph WITH heavy-tail rows and default
+    classes: tails route through the host fallback instead of raising
+    (VERDICT r1 weak #7)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from spmm_tpu.formats.containers import CSR
+    from spmm_tpu.parallel import make_mesh, partition_rows
+    from spmm_tpu.parallel.spgemm_spmd import spgemm_dist_halo
+
+    rng = np.random.default_rng(7)
+    n = 800
+    A = sp.random(n, n, density=0.008, random_state=7, format="lil", dtype=np.float32)
+    A[3, :] = rng.standard_normal(n)  # heavy row: expansion > class ceiling
+    A[n - 2, :] = rng.standard_normal(n)
+    A = A.tocsr()
+    Ac = CSR.from_scipy(A)
+    mesh = make_mesh()
+    S = partition_rows(Ac, mesh.shape["rows"])
+    C = spgemm_dist_halo(S, Ac, mesh, classes=(4, 8, 16, 32))
+    ref = (A @ A).tocsr()
+    ref.sum_duplicates()
+    ref.sort_indices()
+    assert C.nnz == ref.nnz
+    np.testing.assert_array_equal(np.asarray(C.indices[: C.nnz]), ref.indices)
+    np.testing.assert_allclose(np.asarray(C.data[: C.nnz]), ref.data, rtol=1e-4, atol=1e-4)
+
+
+def test_spgemm_dist_csr_device_resident():
+    """Device-resident distributed output: C stays row-sharded on device
+    (per-shard _compact_to_csr inside the SPMD program); reassembly matches
+    scipy and the result chains into a second distributed product."""
+    import numpy as np
+
+    from spmm_tpu.formats.synthetic import webgraph_like
+    from spmm_tpu.parallel import make_mesh, partition_rows
+    from spmm_tpu.parallel.spgemm_spmd import spgemm_dist_csr
+
+    A = webgraph_like(2400, 12000, seed=17)
+    mesh = make_mesh()
+    S = partition_rows(A, mesh.shape["rows"])
+    C = spgemm_dist_csr(S, A, mesh, classes=(16, 64, 256, 1024, 4096, 16384))
+    Sp = A.to_scipy()
+    ref = (Sp @ Sp).tocsr()
+    ref.sum_duplicates()
+    ref.sort_indices()
+    assert C.nnz == ref.nnz
+    # per-shard local CSRs are device arrays; reassemble on host
+    import jax
+
+    assert all(
+        isinstance(x, jax.Array) for x in (C.data, C.indices, C.indptr)
+    )
+    rows_l, cols_l, vals_l = [], [], []
+    iptr = np.asarray(C.indptr, np.int64)
+    for s in range(C.n_shards):
+        k = int(iptr[s, -1])
+        lens = iptr[s, 1:] - iptr[s, :-1]
+        rows_l.append(
+            np.repeat(np.arange(C.rows_per_shard), lens) + int(C.row_starts[s])
+        )
+        cols_l.append(np.asarray(C.indices[s, :k], np.int64))
+        vals_l.append(np.asarray(C.data[s, :k]))
+    import scipy.sparse as sp
+
+    got = sp.coo_matrix(
+        (np.concatenate(vals_l), (np.concatenate(rows_l), np.concatenate(cols_l))),
+        shape=C.shape,
+    ).tocsr()
+    got.sum_duplicates()
+    assert abs(got - ref).max() < 1e-4
+
+
+def test_spgemm_dist_halo_exchange_matches_scipy(monkeypatch):
+    """Runtime halo exchange: B row-block sharded, working sets pulled by an
+    in-program all_to_all (VERDICT r1 missing #2).  Parity in pattern and
+    value modes; the collective is actually traced into the program."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from spmm_tpu.formats.synthetic import webgraph_like
+    from spmm_tpu.parallel import make_mesh, partition_rows
+    from spmm_tpu.parallel.spgemm_spmd import spgemm_dist_halo_exchange
+
+    calls = []
+    orig = jax.lax.all_to_all
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(jax.lax, "all_to_all", spy)
+
+    A = webgraph_like(2400, 16000, seed=19)
+    mesh = make_mesh()
+    for values in ("pattern", "random"):
+        Ax = A
+        if values == "random":
+            rng = np.random.default_rng(19)
+            Ax = dataclasses.replace(
+                A, data=rng.standard_normal(np.asarray(A.data).shape).astype(np.float32)
+            )
+        S = partition_rows(Ax, mesh.shape["rows"])
+        C = spgemm_dist_halo_exchange(S, Ax, mesh)
+        Sp = Ax.to_scipy()
+        ref = (Sp @ Sp).tocsr()
+        ref.sum_duplicates()
+        ref.sort_indices()
+        assert C.nnz == ref.nnz
+        np.testing.assert_array_equal(np.asarray(C.indices[: C.nnz]), ref.indices)
+        np.testing.assert_allclose(
+            np.asarray(C.data[: C.nnz]), ref.data, rtol=1e-5, atol=2e-5
+        )
+    assert calls, "all_to_all collective was never traced into the program"
