@@ -81,17 +81,36 @@ def bench_kernels(A, P, k, chip):
             extras[f"{prefix}_sol_frac"] = round(sol.efficiency(t.median_ms * 1e-3), 3)
 
     t = measure_device_loop(
-        lambda c, Ad: norm(spmm_xla(Ad, c)), B0, (Ad,), name="spmm_csr_k128", iters=8
+        lambda c, Ad: norm(spmm_xla(Ad, c)), B0, (Ad,), name="spmm_csr_raw_k128", iters=8
     )
-    record("spmm_csr_k128", t)
+    record("spmm_csr_raw_k128", t)
 
     t = measure_device_loop(
-        lambda c, Ad: norm(spmv_xla(Ad, c)), x0, (Ad,), name="spmv_csr", iters=8
+        lambda c, Ad: norm(spmv_xla(Ad, c)), x0, (Ad,), name="spmv_csr_raw", iters=8
+    )
+    record("spmv_csr_raw", t, fl=2.0 * A.nnz, sol=rlv)
+
+    from spmm_tpu.ops.roofline import spmm_attainable, spmv_attainable
+
+    # the USER-FACING spmv/spmm on a large host CSR auto-packs to ELL once
+    # (ops/spmm.py:_auto_ell, memoized per instance) and every call after
+    # rides the scatter-free slabs — spmv_csr/spmm_csr_k128 report that
+    # steady state; the one-time pack is spmv_csr_pack_ms
+    from spmm_tpu.ops.spmm import _ell_of
+    from spmm_tpu.utils.timing import measure_host
+
+    tp = measure_host(lambda: ell_pack(A), name="ell_pack", iters=3)
+    extras["spmv_csr_pack_ms"] = round(tp.min_ms, 1)
+    Ed = _ell_of(A)  # the dispatcher's own cached pack
+    t = measure_device_loop(
+        lambda c, Ed: norm(ell_spmv(Ed, c)), x0, (Ed,), name="spmv_csr", iters=8
     )
     record("spmv_csr", t, fl=2.0 * A.nnz, sol=rlv)
     extras["spmv_csr_gnnz_per_s"] = round(A.nnz / (t.median_ms * 1e-3) / 1e9, 3)
-
-    from spmm_tpu.ops.roofline import spmm_attainable, spmv_attainable
+    t = measure_device_loop(
+        lambda c, Ed: norm(ell_spmm(Ed, c)), B0, (Ed,), name="spmm_csr_k128", iters=8
+    )
+    record("spmm_csr_k128", t)
 
     E = ell_pack(A).device()
     extras["ell_padding_factor"] = round(E.padded_nnz / max(A.nnz, 1), 3)
@@ -237,6 +256,29 @@ def bench_spgemm(A, chip):
     return extras
 
 
+def bench_scaling_cpu(*, quick: bool = False):
+    """Executed 1/2/4/8-virtual-device SPMD SpGEMM wall times (VERDICT r1
+    #9) — a subprocess, because the CPU device-count flag is process-global
+    and this process owns the TPU."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "scaling_cpu.py")
+    cmd = [sys.executable, script]
+    if quick:
+        cmd += ["--n", "30000", "--nnz", "180000", "--iters", "2"]
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=1800, env=env)
+    if r.returncode != 0:
+        raise RuntimeError(f"scaling_cpu failed: {r.stderr[-300:]}")
+    line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    log("scaling:", out)
+    return out
+
+
 # the reference's evaluation suite (README.md:12-18) as synthetic analogs
 # (SuiteSparse is unreachable without egress; shapes/nnz match the originals)
 SUITE = {
@@ -287,6 +329,10 @@ def main():
     ap.add_argument("--no-kernels", action="store_true")
     ap.add_argument("--no-spgemm", action="store_true")
     ap.add_argument("--no-suite", action="store_true")
+    ap.add_argument("--no-scaling", action="store_true")
+    ap.add_argument("--matrix", default=None, metavar="PATH",
+                    help="bench a real .mtx (pattern-ingested, reference "
+                    "contract) instead of the synthetic web graph")
     ap.add_argument("--measure-reference", action="store_true",
                     help="also run the reference binary on the same matrix")
     args = ap.parse_args()
@@ -308,8 +354,20 @@ def main():
         n, nnz = WEBGOOGLE_N, WEBGOOGLE_NNZ
 
     t0 = time.perf_counter()
-    A = webgraph_like(n, nnz, seed=0)
-    log(f"synthetic web graph: {A.shape} nnz={A.nnz} ({time.perf_counter()-t0:.1f}s)")
+    if args.matrix:
+        # real matrix: the reference ingest contract (values forced to 1.0,
+        # SURVEY.md §2.1) — when a SuiteSparse .mtx is available it drops in
+        # here and every number below is on the real workload
+        from spmm_tpu.formats.mtx import read_mtx
+        from spmm_tpu.formats.containers import to_csr
+
+        A = to_csr(read_mtx(args.matrix))
+        n, nnz = A.shape[0], A.nnz
+        log(f"matrix {args.matrix}: {A.shape} nnz={A.nnz} "
+            f"({time.perf_counter()-t0:.1f}s)")
+    else:
+        A = webgraph_like(n, nnz, seed=0)
+        log(f"synthetic web graph: {A.shape} nnz={A.nnz} ({time.perf_counter()-t0:.1f}s)")
 
     cfg = Config()
     pre_ms, P = bench_preprocess(A, cfg)
@@ -355,6 +413,12 @@ def main():
         except Exception as e:
             log("suite bench failed:", repr(e))
             extras["suite_error"] = repr(e)[:200]
+    if not args.no_scaling:
+        try:
+            extras.update(bench_scaling_cpu(quick=args.quick))
+        except Exception as e:
+            log("scaling bench failed:", repr(e))
+            extras["scaling_error"] = repr(e)[:200]
 
     result = {
         "metric": "preprocess_ms_webgoogle_synthetic",

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Executed SPMD SpGEMM scaling curve on a virtual CPU mesh.
+
+VERDICT r1 item #9: the shard-balance number (bench.py
+``spgemm_shard_balance_8``) is a host-side projection; this script EXECUTES
+the SPMD SpGEMM program (parallel/spgemm_spmd.py) at 1/2/4/8 virtual CPU
+devices on the SAME total matrix and reports wall-clock per device count.
+
+On this container's single physical CPU the N shards run serially, so
+perfect SPMD scaling shows up as *constant* wall time (same total work, no
+added collectives in the replicated-B path); the efficiency column is
+t(1)/t(N).  Real-ICI scaling remains projected by the balance number — this
+curve validates the program's overhead, not the interconnect.
+
+Prints one JSON line; bench.py runs this as a subprocess (it must live in
+its own process: the CPU device count flag is process-global).
+"""
+from __future__ import annotations
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+# the env var alone does not stick on axon-tunneled containers (the plugin
+# pins jax_platforms at registration); the config update after import is the
+# only reliable CPU forcing — same pattern as tests/conftest.py
+jax.config.update("jax_platforms", "cpu")
+# the 4 SPMD programs cost minutes of CPU compile on this 1-core host; the
+# persistent cache makes repeat runs (and the bench.py subprocess) ~free
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_spmm_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=120_000)
+    ap.add_argument("--nnz", type=int, default=720_000)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    # coarse classes: the production ~1.25x grid inlines ~30 chunk bodies per
+    # SPMD program — minutes of XLA CPU compile on this 1-core host for a
+    # measurement whose point is RELATIVE wall time across device counts.
+    # The same (coarse) config is used at every count, so the curve stands.
+    CLASSES = (16, 64, 256, 1024, 4096, 16384)
+
+    import jax
+
+    from spmm_tpu.formats.synthetic import webgraph_like
+    from spmm_tpu.parallel.mesh import make_mesh
+    from spmm_tpu.parallel.partition import partition_rows
+    from spmm_tpu.parallel.spgemm_spmd import spgemm_dist_spmd
+
+    A = webgraph_like(args.n, args.nnz, seed=0)
+    out = {"scaling_n": args.n, "scaling_nnz": int(A.nnz)}
+    ref_nnz = None
+    t1 = None
+    for nd in (1, 2, 4, 8):
+        mesh = make_mesh(nd)
+        S = partition_rows(A, nd)
+        C = spgemm_dist_spmd(S, A, mesh, classes=CLASSES)  # warm/compile
+        if ref_nnz is None:
+            ref_nnz = C.nnz
+        assert C.nnz == ref_nnz, (nd, C.nnz, ref_nnz)
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            spgemm_dist_spmd(S, A, mesh, classes=CLASSES)
+            times.append((time.perf_counter() - t0) * 1e3)
+        ms = min(times)
+        if t1 is None:
+            t1 = ms
+        out[f"spgemm_scaling_cpu_{nd}"] = round(ms, 1)
+        out[f"spgemm_scaling_eff_{nd}"] = round(t1 / ms, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
