@@ -22,6 +22,12 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=23, help="log2 element count")
+    ap.add_argument(
+        "--json",
+        action="store_true",
+        help="write spmm_tpu/primitive_rates.json — the ONE calibration "
+        "source MeasuredRates.load() and every *_att_frac derive from",
+    )
     args = ap.parse_args()
 
     import jax
@@ -38,8 +44,10 @@ def main():
         rate = elems / (ms * 1e-3)
         rows.append((name, ms, rate))
         print(f"{name:<38} {ms:9.2f} ms   {rate/1e6:10.0f} M elem/s")
+        return rate
 
     # --- batched minor-axis sort --------------------------------------------
+    bsort_best = 0.0
     for L in (16, 128, 512):
         R = E // L
         c2 = jnp.asarray(rng.integers(0, 1 << 20, (R, L)).astype(np.int32))
@@ -50,7 +58,7 @@ def main():
             return vs[:, 0].sum() + cs[:, 0].sum().astype(jnp.float32)
 
         t = measure_device_loop(s, jnp.zeros(()), (c2, v2), name=f"bsort{L}", iters=3)
-        report(f"batched minor-axis sort L={L}", t.median_ms)
+        bsort_best = max(bsort_best, report(f"batched minor-axis sort L={L}", t.median_ms))
 
     # --- global 1-D sort -----------------------------------------------------
     k = jnp.asarray(rng.integers(0, 1 << 30, E).astype(np.int32))
@@ -62,10 +70,12 @@ def main():
         return v[-1] + a[-1].astype(jnp.float32)
 
     t = measure_device_loop(gs, jnp.zeros(()), (k, p1, p2), name="gsort", iters=3)
-    report("global 1-D sort (1 key + 2 payloads)", t.median_ms)
+    gsort_rate = report("global 1-D sort (1 key + 2 payloads)", t.median_ms)
 
     # --- gathers by row width ------------------------------------------------
     NTAB = 1 << 20
+    grow_best = 0.0
+    g1_rate = 0.0
     for W in (1, 4, 16, 128):
         N = E // W
         table = jnp.asarray(rng.standard_normal((NTAB, W)).astype(np.float32))
@@ -75,7 +85,10 @@ def main():
             return jnp.take(table, idx + c.astype(jnp.int32), axis=0).sum()
 
         t = measure_device_loop(g, jnp.zeros(()), (table, idx), name=f"gW{W}", iters=3)
-        report(f"row gather width={W} ({N/1e6:.1f}M rows)", t.median_ms)
+        r = report(f"row gather width={W} ({N/1e6:.1f}M rows)", t.median_ms, elems=N)
+        grow_best = max(grow_best, r)
+        if W == 1:
+            g1_rate = r
 
     # --- scatter-add ----------------------------------------------------------
     vals = jnp.asarray(rng.standard_normal(E).astype(np.float32))
@@ -87,7 +100,7 @@ def main():
         return s[0]
 
     t = measure_device_loop(sc, jnp.zeros(()), (vals, seg), name="scatter", iters=3)
-    report("scatter-add (segment_sum)", t.median_ms)
+    scatter_rate = report("scatter-add (segment_sum)", t.median_ms)
 
     # --- take_along_axis -------------------------------------------------------
     L = 128
@@ -106,7 +119,40 @@ def main():
         return jnp.cumsum(v2 + c, axis=1)[:, -1].sum()
 
     t = measure_device_loop(cs, jnp.zeros(()), (v2,), name="cumsum", iters=3)
-    report("batched cumsum", t.median_ms)
+    cumsum_rate = report("batched cumsum", t.median_ms)
+
+    if args.json:
+        import datetime
+        import json
+        import os
+
+        from spmm_tpu.ops.roofline import MeasuredRates
+
+        if jax.devices()[0].platform != "tpu":
+            print("refusing to write calibration from a non-TPU backend "
+                  "(the file feeds TPU attainable bounds)")
+            return
+
+        # BEST rates per primitive class: the attainable model is a lower
+        # bound on kernel time only if its denominators are unbeatable
+        out = {
+            "row_gather_rows_s": grow_best,
+            "scalar_gather_s": g1_rate,
+            "scatter_elems_s": scatter_rate,
+            "sort_batched_s": bsort_best,
+            "sort_global_s": gsort_rate,
+            # cumsum reads+writes 8 B/elem — the fused-elementwise byte rate
+            "elementwise_gbs": cumsum_rate * 8,
+            "_captured": datetime.datetime.now().isoformat(timespec="seconds"),
+            "_device": str(jax.devices()[0].device_kind
+                           if hasattr(jax.devices()[0], "device_kind")
+                           else jax.devices()[0].platform),
+            "_size_log2": args.size,
+        }
+        p = MeasuredRates.calibration_path()
+        with open(p, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {p}")
 
 
 if __name__ == "__main__":

@@ -91,7 +91,15 @@ class MeasuredRates:
     and scatters per element; kernels built on those primitives cannot beat
     the primitive rates however well they stream.  ``attainable`` bounds
     below count each kernel's irreducible primitive invocations at these
-    rates — the honest denominator for gather-bound sparse ops."""
+    rates — the honest denominator for gather-bound sparse ops.
+
+    ONE calibration source: ``benchmarks/primitives.py --json`` writes the
+    driver-captured rates to ``spmm_tpu/primitive_rates.json``;
+    :meth:`load` prefers that file so the attainable bounds, README table,
+    and bench.py all quote the same measurement (a bound derived from the
+    chip's own best primitive rates cannot be exceeded, so
+    ``att_frac <= 1`` by construction).  The class defaults are the v5e
+    measurements as of the last capture and only serve as fallback."""
 
     row_gather_rows_s: float = 1.1e8  # aligned 2-D row gather, any width
     scatter_elems_s: float = 1.1e8  # segment_sum / .at[] set
@@ -100,8 +108,33 @@ class MeasuredRates:
     sort_global_s: float = 3e8  # 1-D lax.sort
     elementwise_gbs: float = 600e9  # fused VPU passes, bytes/s
 
+    @staticmethod
+    def calibration_path() -> str:
+        import os
 
-V5E_RATES = MeasuredRates()
+        return os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "primitive_rates.json",
+        )
+
+    @classmethod
+    def load(cls) -> "MeasuredRates":
+        import json
+        import os
+
+        p = cls.calibration_path()
+        if not os.path.exists(p):
+            return cls()
+        try:
+            with open(p) as f:
+                raw = json.load(f)
+        except Exception:
+            return cls()
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: float(v) for k, v in raw.items() if k in fields})
+
+
+V5E_RATES = MeasuredRates.load()
 
 
 def spmm_attainable(nnz_padded_rows: int, m: int, k: int,
