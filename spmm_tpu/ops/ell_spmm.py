@@ -60,7 +60,16 @@ def _slab_loop(E: ELL, B, pick, k, accum_dtype, permute_back):
     return jnp.take(y_sorted, jnp.asarray(E.inv_perm), axis=0)
 
 
-def ell_spmm(E: ELL, B: jax.Array, *, accum_dtype=jnp.float32, permute_back: bool = True):
+#: narrow-k group pick implementation: "einsum" (one-hot MXU contraction) or
+#: "select" (log2(G) masked VPU selects — no (S, G, k) reshape, no
+#: contraction).  A/B'd on device; the faster one ships as default.
+PICK_IMPL = "select"
+
+
+def ell_spmm(
+    E: ELL, B: jax.Array, *, accum_dtype=jnp.float32, permute_back: bool = True,
+    pick_impl: str | None = None,
+):
     """Y[m, k] = A @ B for A in ELL form."""
     k = B.shape[-1]
     if k < 128:
@@ -71,13 +80,14 @@ def ell_spmm(E: ELL, B: jax.Array, *, accum_dtype=jnp.float32, permute_back: boo
         if kp != k:
             Bp = jnp.concatenate([B, jnp.zeros((B.shape[0], kp - k), B.dtype)], axis=1)
             return ell_spmm(
-                E, Bp, accum_dtype=accum_dtype, permute_back=permute_back
+                E, Bp, accum_dtype=accum_dtype, permute_back=permute_back,
+                pick_impl=pick_impl,
             )[:, :k]
         # fold G = 128//k consecutive B rows into one 128-lane row, gather at
-        # full lane width, then pick the k-lane group with a one-hot
-        # contraction (HIGHEST precision: f32 values pass through exactly).
-        # Same gather-row count as the wide path but no (m, 128) widen/slice
-        # round-trip of B and Y through HBM.
+        # full lane width, then pick the k-lane group (HIGHEST precision /
+        # exact selects: f32 values pass through exactly).  Same gather-row
+        # count as the wide path but no (m, 128) widen/slice round-trip of B
+        # and Y through HBM.
         G = 128 // k
         mb = B.shape[0]
         pad = (-mb) % G
@@ -85,11 +95,26 @@ def ell_spmm(E: ELL, B: jax.Array, *, accum_dtype=jnp.float32, permute_back: boo
         B4 = B4.reshape((mb + pad) // G, 128)
         eye = jnp.eye(G, dtype=accum_dtype)
         hi = jax.lax.Precision.HIGHEST
+        impl = pick_impl or PICK_IMPL
 
         def pick_folded(c):
-            g = jnp.take(B4, c // G, axis=0).astype(accum_dtype).reshape(-1, G, k)
-            sel = jnp.take(eye, c % G, axis=0)
-            return jnp.einsum("sg,sgk->sk", sel, g, precision=hi)
+            g = jnp.take(B4, c // G, axis=0).astype(accum_dtype)  # (S, 128)
+            grp = c % G
+            if impl == "select":
+                # binary-reduction select: log2(G) masked (S, k) merges
+                g3 = g.reshape(-1, G, k)
+                parts = [g3[:, i, :] for i in range(G)]
+                bit = 1
+                while len(parts) > 1:
+                    sel = ((grp & bit) != 0)[:, None]
+                    parts = [
+                        jnp.where(sel, parts[i + 1], parts[i])
+                        for i in range(0, len(parts), 2)
+                    ]
+                    bit <<= 1
+                return parts[0]
+            sel = jnp.take(eye, grp, axis=0)
+            return jnp.einsum("sg,sgk->sk", sel, g.reshape(-1, G, k), precision=hi)
 
         return _slab_loop(E, B, pick_folded, k, accum_dtype, permute_back)
 

@@ -52,10 +52,47 @@ def spmv_xla(A: CSR, x: jax.Array, *, accum_dtype=jnp.float32) -> jax.Array:
     )
 
 
+#: above this nnz the CSR dispatchers auto-pack to ELL (pack once, memoized
+#: per CSR instance).  Raw CSR gather+segment-sum hits the scalar-gather AND
+#: scatter walls simultaneously (~85 ms on web-Google SpMV — as slow as a
+#: k=128 SpMM, BENCH_r01); the ELL slabs cost one host pack (~nnz sort) and
+#: every subsequent multiply runs scatter-free.  Below the threshold the
+#: pack isn't worth the host pass.
+AUTO_ELL_THRESHOLD = 1 << 18
+
+_ELL_CACHE: dict = {}  # id(CSR) -> (weakref, device ELL)
+
+
+def _ell_of(A: CSR):
+    """Memoized ELL pack of a host CSR (weakly keyed by instance)."""
+    import weakref
+
+    key = id(A)
+    ent = _ELL_CACHE.get(key)
+    if ent is not None and ent[0]() is A:
+        return ent[1]
+    from spmm_tpu.formats.ell import ell_pack
+
+    E = ell_pack(A).device()
+    _ELL_CACHE[key] = (weakref.ref(A, lambda r, k=key: _ELL_CACHE.pop(k, None)), E)
+    return E
+
+
+def _auto_ell(A) -> bool:
+    import numpy as np
+
+    return (
+        isinstance(A, CSR)
+        and A.nnz >= AUTO_ELL_THRESHOLD
+        and isinstance(A.data, np.ndarray)  # device CSRs are not pulled back
+    )
+
+
 def spmm(A, B: jax.Array, **kw) -> jax.Array:
     """Dispatch SpMM on the input format: ELL (fastest unstructured path,
     scatter-free), BSR (MXU block products), BlockedCSR (reference-parity
-    packed format), CSR (gather + segment-sum)."""
+    packed format), CSR (gather + segment-sum; large host CSRs auto-pack to
+    ELL once and reuse the pack across calls)."""
     from spmm_tpu.formats.bsr import BSR
     from spmm_tpu.formats.containers import BlockedCSR
     from spmm_tpu.formats.ell import ELL
@@ -72,6 +109,10 @@ def spmm(A, B: jax.Array, **kw) -> jax.Array:
         from spmm_tpu.ops.blocked import blocked_spmm
 
         return blocked_spmm(A, B, **kw)
+    if _auto_ell(A):
+        from spmm_tpu.ops.ell_spmm import ell_spmm
+
+        return ell_spmm(_ell_of(A), B, **kw)
     return spmm_xla(A, B, **kw)
 
 
@@ -87,4 +128,8 @@ def spmv(A, x: jax.Array, **kw) -> jax.Array:
         from spmm_tpu.ops.blocked import blocked_spmm
 
         return blocked_spmm(A, x[:, None], **kw)[:, 0]
+    if _auto_ell(A):
+        from spmm_tpu.ops.ell_spmm import ell_spmv
+
+        return ell_spmv(_ell_of(A), x, **kw)
     return spmv_xla(A, x, **kw)

@@ -151,6 +151,87 @@ def test_blocked_spmm_slab_view():
     np.testing.assert_allclose(Y, A.to_scipy() @ B, rtol=1e-4, atol=1e-4)
 
 
+def test_spmv_auto_ell_pack_and_memoize():
+    """Large host CSRs auto-pack to ELL in the spmv/spmm dispatchers (the
+    raw gather+scatter CSR path cost a k=128 SpMM per SpMV, BENCH_r01) and
+    the pack is built once per CSR instance."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import importlib
+
+    sp = importlib.import_module("spmm_tpu.ops.spmm")  # the module (the
+    # package re-exports a same-named function that shadows attribute access)
+    from spmm_tpu.formats.synthetic import webgraph_like
+
+    A = webgraph_like(4000, 24000, seed=29)
+    x = np.random.default_rng(7).standard_normal(4000).astype(np.float32)
+    B = np.random.default_rng(8).standard_normal((4000, 8)).astype(np.float32)
+
+    old_thresh = sp.AUTO_ELL_THRESHOLD
+    sp.AUTO_ELL_THRESHOLD = 1000
+    try:
+        packs = []
+        orig = sp._ell_of
+
+        def counting(Ah):
+            packs.append(1)
+            return orig(Ah)
+
+        sp._ell_of = counting
+        try:
+            y1 = np.asarray(sp.spmv(A, jnp.asarray(x)))
+            y2 = np.asarray(sp.spmv(A, jnp.asarray(x)))
+            Y = np.asarray(sp.spmm(A, jnp.asarray(B)))
+        finally:
+            sp._ell_of = orig
+        assert len(packs) == 3  # dispatcher consulted each call...
+        key = id(A)
+        assert key in sp._ELL_CACHE  # ...but the pack itself is memoized
+        np.testing.assert_allclose(y1, A.to_scipy() @ x, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(y2, y1)
+        np.testing.assert_allclose(Y, A.to_scipy() @ B, rtol=1e-4, atol=1e-4)
+        # device-resident CSRs are never pulled back for packing
+        Ad = A.pad(8).device()
+        assert not sp._auto_ell(Ad)
+    finally:
+        sp.AUTO_ELL_THRESHOLD = old_thresh
+
+
+def test_blocked_spmm_panel_two_stage():
+    """The two-stage region-panel gather SpMM (stage the compacted RHS panel
+    via gather_cols, then slot-gather — SURVEY.md §3.3's blueprint consumer)
+    matches scipy in both the per-nonzero and v8-slab formulations."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from spmm_tpu.config import Config
+    from spmm_tpu.formats.synthetic import webgraph_like
+    from spmm_tpu.ops.blocked import (
+        blocked_panel_view,
+        blocked_slab_view,
+        blocked_spmm_panel,
+        blocked_spmm_slab,
+    )
+    from spmm_tpu.preprocess import preprocess
+
+    A = webgraph_like(3000, 18000, seed=23)
+    P = preprocess(A, Config(region_budget=1024, panel_rows=512)).device()
+    B = np.random.default_rng(5).standard_normal((3000, 16)).astype(np.float32)
+    ref = A.to_scipy() @ B
+
+    Y = np.asarray(blocked_spmm_panel(P, jnp.asarray(B), view=blocked_panel_view(P)))
+    np.testing.assert_allclose(Y, ref, rtol=1e-4, atol=1e-4)
+    # no-view path
+    Y2 = np.asarray(blocked_spmm_panel(P, jnp.asarray(B)))
+    np.testing.assert_allclose(Y2, ref, rtol=1e-4, atol=1e-4)
+    # slab (MXU tile) formulation over the panel
+    view = blocked_slab_view(P, panel=True)
+    assert len(view) == 4
+    Y3 = np.asarray(blocked_spmm_slab(P, jnp.asarray(B), view))
+    np.testing.assert_allclose(Y3, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_blocked_chain_spmv_seq_input():
     """The self-referential seq_input contract (SURVEY.md §2.8): chained
     A^k x products through the packed format stay in final order and gather
