@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Per-stage device profile of the fused slab SpGEMM (web-Google synthetic).
+
+Drives VERDICT round-2 item #1: aggregate device time per source line of
+ops/slab_spgemm.py, compare each stage against its primitive rate, attack the
+worst offender.  Usage: python benchmarks/profile_spgemm.py [--n N] [--nnz NNZ]
+[--seg-w W]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_spmm_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=916_428)
+    ap.add_argument("--nnz", type=int, default=5_105_039)
+    ap.add_argument("--seg-w", type=int, default=None)
+    ap.add_argument("--pattern", action="store_true", default=None)
+    args = ap.parse_args()
+
+    from spmm_tpu.formats.synthetic import webgraph_like
+    from spmm_tpu.ops import slab_spgemm as ss
+    from spmm_tpu.utils.profiling import profile_fn
+
+    t0 = time.perf_counter()
+    A = webgraph_like(args.n, args.nnz, seed=0)
+    print(f"synthetic: {A.shape} nnz={A.nnz} ({time.perf_counter()-t0:.1f}s)")
+
+    W = args.seg_w or ss.DEFAULT_SEG_W
+    classes = tuple(sorted({ss._round_up(c, W) for c in ss.DEFAULT_CLASSES}))
+    t0 = time.perf_counter()
+    sizing = ss._sizing(A, A, W, classes)
+    t_sizing = (time.perf_counter() - t0) * 1e3
+    npa, nsegB, cls, counts = sizing
+    print(f"sizing: {t_sizing:.1f} ms host; npa={npa/1e6:.2f}M nsegB={nsegB/1e6:.2f}M "
+          f"slots={npa*W/1e6:.1f}M counts={counts}")
+
+    Ad = A.device()
+    sched, tail_start = ss._chunk_schedule(classes, counts, ss.DEFAULT_SLOT_BUDGET)
+    print("schedule:", sched)
+
+    max_chunk = ss._bucket_pow2(max(ss.DEFAULT_SLOT_BUDGET // classes[0], 8))
+    nsegB_pad = ss._round_up(nsegB, 1024)
+    kw = dict(
+        W=W,
+        npa_pad=ss._round_up(npa, 1024),
+        nsegB_pad=nsegB_pad,
+        nrow=A.nrow,
+        nrow_pad=A.nrow + max_chunk,
+        nnz=A.nnz,
+        schedule=tuple(sched),
+        accum_dtype=jnp.float32,
+        pattern=True,
+        b2_ws=ss._pick_b2_ws(W, True, np.dtype(np.float32), nsegB_pad),
+    )
+    print("b2_ws:", kw["b2_ws"])
+    dev_args = (
+        jnp.asarray(Ad.indptr, jnp.int32), jnp.asarray(Ad.indices, jnp.int32),
+        jnp.asarray(Ad.data), jnp.asarray(Ad.indptr, jnp.int32),
+        jnp.asarray(Ad.indices, jnp.int32), jnp.asarray(Ad.data),
+        jnp.asarray(cls),
+    )
+
+    fn = ss._fused_exec
+    # wall timing (3 runs, min), matching bench.py's fence discipline
+    def run():
+        rows_sorted, outs = fn(*dev_args, **kw)
+        np.asarray(outs[-1][3][:1])
+        return outs
+
+    run()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append((time.perf_counter() - t0) * 1e3)
+    print(f"wall (device-resident, fenced): {min(times):.1f} ms  (+ sizing {t_sizing:.1f} + cls upload)")
+
+    prof = profile_fn(fn, *dev_args, **kw)
+    print(prof.top(25))
+    print("\n--- by source ---")
+    for src, ms in prof.by_source().items():
+        if ms > 1.0:
+            print(f"{ms:9.2f} ms  {src}")
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,14 @@ from spmm_tpu.ops.slab_spgemm import spgemm_slab, spgemm_slab_device, spgemm_pla
 spgemm = spgemm_slab
 from spmm_tpu.ops.ell_spmm import ell_spmm, ell_spmv
 from spmm_tpu.ops.pallas_bsr import bsr_spmm_pallas, bsr_spmm_xla, bsr_spmv
-from spmm_tpu.ops.blocked import blocked_chain_spmv, blocked_slab_view, blocked_spmm_slab, blocked_spmm_xla
+from spmm_tpu.ops.blocked import (
+    blocked_chain_spmv,
+    blocked_panel_view,
+    blocked_slab_view,
+    blocked_spmm_panel,
+    blocked_spmm_slab,
+    blocked_spmm_xla,
+)
 from spmm_tpu.ops.roofline import spmm_roofline, spmv_roofline, spgemm_roofline, ChipSpec
 from spmm_tpu.ops.segments import boundary_segments
 from spmm_tpu.ops.sddmm import sddmm, sddmm_values
@@ -41,6 +48,8 @@ __all__ = [
     "bsr_spmv",
     "bsr_spmm_xla",
     "blocked_chain_spmv",
+    "blocked_panel_view",
+    "blocked_spmm_panel",
     "blocked_slab_view",
     "blocked_spmm_slab",
     "blocked_spmm_xla",

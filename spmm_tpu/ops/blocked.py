@@ -41,14 +41,21 @@ def _final_out_rows(P: BlockedCSR) -> jax.Array:
     return jnp.where(g >= 0, grow, r0)
 
 
-def _global_cols(P: BlockedCSR) -> jax.Array:
-    """Undo the per-region relabel: original column id per packed nonzero."""
+def _panel_slots(P: BlockedCSR) -> jax.Array:
+    """Per packed nonzero: its slot in the region-concatenated relabel space
+    (``region_gather[region] + cols_local`` — the compacted-panel index the
+    reference's relabel pass exists to produce, SURVEY.md §2.7)."""
     from spmm_tpu.ops.segments import boundary_segments
 
     nnz_pad = P.data.shape[0]
     reg = boundary_segments(jnp.asarray(P.region_nnz), nnz_pad)
     slot = jnp.asarray(P.region_gather)[reg] + jnp.asarray(P.cols_local)
-    return jnp.asarray(P.gather_cols)[jnp.clip(slot, 0, P.ndistinct - 1)]
+    return jnp.clip(slot, 0, P.ndistinct - 1)
+
+
+def _global_cols(P: BlockedCSR) -> jax.Array:
+    """Undo the per-region relabel: original column id per packed nonzero."""
+    return jnp.asarray(P.gather_cols)[_panel_slots(P)]
 
 
 def blocked_exec_view(P: BlockedCSR):
@@ -83,7 +90,47 @@ def blocked_spmm_xla(
     return y_final[jnp.asarray(P.row_inv)]
 
 
-def blocked_slab_view(P: BlockedCSR):
+def blocked_panel_view(P: BlockedCSR):
+    """Pack-once view for the TWO-STAGE panel SpMM: (out_rows, slots,
+    gather_cols) — ``slots`` index the region-concatenated compacted panel
+    instead of the full B (the blueprint consumer of SURVEY.md §3.3 /
+    reference serial_newblock_clock.cpp:187-204: the relabel exists so the
+    multiply reads a compacted working set)."""
+    return jax.block_until_ready(
+        (_final_out_rows(P), _panel_slots(P), jnp.asarray(P.gather_cols))
+    )
+
+
+def blocked_spmm_panel(
+    P: BlockedCSR,
+    B: jax.Array,
+    *,
+    accum_dtype=jnp.float32,
+    permute_back: bool = True,
+    view=None,
+) -> jax.Array:
+    """Y = unpack(P) @ B via the two-stage region-panel gather: stage 1
+    compacts the referenced B rows once (``take(B, gather_cols)`` —
+    ndistinct ≤ nnz rows, each region's stretch VMEM-budget-bounded by the
+    region split, SURVEY.md §2.4); stage 2 gathers each packed nonzero's
+    contribution from the COMPACTED panel by relabeled slot.  Compare
+    against :func:`blocked_spmm_xla` (single gather from full B) — the
+    benchmark decides which formulation the dispatcher uses."""
+    out_rows, slots, gcols = (
+        view if view is not None
+        else (_final_out_rows(P), _panel_slots(P), jnp.asarray(P.gather_cols))
+    )
+    panel = jnp.take(B, gcols, axis=0).astype(accum_dtype)  # stage 1
+    contrib = jnp.take(panel, slots, axis=0) * jnp.asarray(P.data).astype(
+        accum_dtype
+    )[:, None]
+    y_final = jax.ops.segment_sum(contrib, out_rows, num_segments=P.nrow)
+    if not permute_back:
+        return y_final
+    return y_final[jnp.asarray(P.row_inv)]
+
+
+def blocked_slab_view(P: BlockedCSR, *, panel: bool = False):
     """Pack-once v8-SLAB execution view — the fast consumer of the packed
     format.  The 8-row interleave (slot ``base + 8e + r``) means each group's
     packed block reshapes DIRECTLY to a dense (L, 8) tile, so groups of equal
@@ -96,7 +143,11 @@ def blocked_slab_view(P: BlockedCSR):
       buckets: list of (d3 (G,L,8) values, c3 (G,L,8) GLOBAL col ids);
       rem: (cols, vals, seg_ids) for non-group rows;
       order_map: (nrow,) concat position of each ORIGINAL row.
-    """
+
+    ``panel=True``: column indices are relabeled PANEL SLOTS instead of
+    global ids and the view carries ``gather_cols`` as a 4th element — the
+    multiply then stages the compacted panel first (two-stage gather, see
+    :func:`blocked_spmm_panel`)."""
     import numpy as np
 
     h_gl = np.asarray(P.group_len, np.int64)
@@ -105,7 +156,8 @@ def blocked_slab_view(P: BlockedCSR):
     indptr = np.asarray(P.indptr, np.int64)
     nrow = P.nrow
 
-    gcols_full = _global_cols(P)  # (nnz_pad,) device, computed once
+    # (nnz_pad,) device, computed once: panel slots or global column ids
+    gcols_full = _panel_slots(P) if panel else _global_cols(P)
     data_full = jnp.asarray(P.data)
 
     buckets = []
@@ -147,7 +199,10 @@ def blocked_slab_view(P: BlockedCSR):
     # order_map_final[row_inv[i]]
     inv = np.asarray(P.row_inv, np.int64)
     order_map = jnp.asarray(order_map_final[inv], jnp.int32)
-    return jax.block_until_ready((tuple(buckets), rem, order_map))
+    out = (tuple(buckets), rem, order_map)
+    if panel:
+        out = out + (jnp.asarray(P.gather_cols),)
+    return jax.block_until_ready(out)
 
 
 def blocked_spmm_slab(
@@ -155,9 +210,14 @@ def blocked_spmm_slab(
 ) -> jax.Array:
     """Y = unpack(P) @ B via the v8-slab view (pack once, multiply many) —
     dense (L, 8) tiles per group batch + sorted leftover stream.  Rows
-    return in ORIGINAL order."""
+    return in ORIGINAL order.  A 4-element (panel) view stages the compacted
+    RHS panel once and all tile gathers read it by relabeled slot."""
     hi = jax.lax.Precision.HIGHEST
-    buckets, rem, order_map = view
+    if len(view) == 4:
+        buckets, rem, order_map, gcols = view
+        B = jnp.take(B, gcols, axis=0)  # stage 1: compacted panel
+    else:
+        buckets, rem, order_map = view
     k = B.shape[-1]
     parts = []
     for d3, c3 in buckets:
