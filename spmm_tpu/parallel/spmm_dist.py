@@ -114,31 +114,3 @@ def spmv_dist(S: ShardedCSR, x: jax.Array, mesh: Mesh, *, axis: str = "rows") ->
     """y = A @ x, row-sharded; x all-gathered."""
     y = spmm_dist(S, x[:, None], mesh, axis=axis)
     return y[..., 0]
-
-
-def spgemm_dist(A_sharded: ShardedCSR, B_csr, mesh: Mesh, *, axis: str = "rows"):
-    """Row-partitioned SpGEMM: each shard computes its row block of A·B with
-    the (replicated) CSR of B; results are concatenated on host.
-
-    B is replicated because SpGEMM needs random access to B's rows; the
-    ring/halo variant (exchange only referenced rows) is the optimization the
-    region gather lists enable — see spmm_tpu.ops.spgemm for the single-chip
-    kernel this wraps."""
-    from spmm_tpu.formats.containers import CSR
-    from spmm_tpu.ops.slab_spgemm import spgemm_slab as spgemm
-    import numpy as np
-
-    # host-driven per-shard execution (device ESC per shard, chunked)
-    outs = []
-    h = A_sharded
-    for i in range(h.n_shards):
-        rows = h.rows_per_shard
-        sub = CSR(
-            data=np.asarray(h.data[i]),
-            indices=np.asarray(h.indices[i]),
-            indptr=np.asarray(h.indptr[i]),
-            shape=(rows, h.shape[1]),
-            nnz=int(np.asarray(h.indptr[i])[-1]),
-        )
-        outs.append(spgemm(sub, B_csr, as_csr=False))
-    return outs

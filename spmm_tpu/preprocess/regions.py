@@ -87,17 +87,3 @@ def region_distinct_counts(A: CSR, bounds: np.ndarray) -> np.ndarray:
     for i, (s, t) in enumerate(zip(bounds[:-1], bounds[1:])):
         out[i] = np.unique(cols[indptr[s] : indptr[t]]).size
     return out
-
-
-def nnz_balanced_regions(A: CSR, nnz_budget: int) -> np.ndarray:
-    """Device-friendly alternative splitter: cut on an nnz budget.
-
-    Since distinct(region) <= nnz(region), an nnz budget is also a valid
-    distinct-column (VMEM) bound — more regions, but computable with one
-    searchsorted (used by the on-device preprocessing path)."""
-    h = A.host()
-    indptr = np.asarray(h.indptr, dtype=np.int64)
-    targets = np.arange(nnz_budget, A.nnz + nnz_budget, nnz_budget, dtype=np.int64)
-    cuts = np.searchsorted(indptr, targets, side="left")
-    bounds = np.unique(np.concatenate([[0], cuts, [A.shape[0]]]))
-    return bounds.astype(np.int64)
