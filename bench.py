@@ -24,8 +24,9 @@ import time
 import numpy as np
 
 # local-reproduction baseline (same container, reference rebuilt from source
-# with its makefile and run on an equal-size synthetic; BASELINE.md)
-REFERENCE_PREPROCESS_MS = 379.5
+# with its makefile and run on the SAME calibrated synthetic matrix this
+# harness benches — min of 5 runs, re-measured 2026-08-17; BASELINE.md)
+REFERENCE_PREPROCESS_MS = 494.6
 WEBGOOGLE_N = 916_428
 WEBGOOGLE_NNZ = 5_105_039
 
@@ -270,7 +271,11 @@ def bench_scaling_cpu(*, quick: bool = False):
     if quick:
         cmd += ["--n", "30000", "--nnz", "180000", "--iters", "2"]
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
-    r = subprocess.run(cmd, capture_output=True, text=True, timeout=1800, env=env)
+    root = os.path.dirname(os.path.abspath(__file__))
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=1800, env=env, cwd=root
+    )
     if r.returncode != 0:
         raise RuntimeError(f"scaling_cpu failed: {r.stderr[-300:]}")
     line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]

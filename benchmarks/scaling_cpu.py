@@ -18,6 +18,11 @@ its own process: the CPU device count flag is process-global).
 from __future__ import annotations
 
 import os
+import sys
+
+# run as `python benchmarks/scaling_cpu.py`: sys.path[0] is benchmarks/, not
+# the repo root — put the package on the path regardless of invocation dir
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
