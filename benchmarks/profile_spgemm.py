@@ -50,9 +50,10 @@ def main():
 
     max_chunk = ss._bucket_pow2(max(ss.DEFAULT_SLOT_BUDGET // classes[0], 8))
     nsegB_pad = ss._round_up(nsegB, 1024)
+    npa_pad = ss._round_up(npa, 1024)
     kw = dict(
         W=W,
-        npa_pad=ss._round_up(npa, 1024),
+        npa_pad=npa_pad,
         nsegB_pad=nsegB_pad,
         nrow=A.nrow,
         nrow_pad=A.nrow + max_chunk,
@@ -61,13 +62,15 @@ def main():
         accum_dtype=jnp.float32,
         pattern=True,
         b2_ws=ss._pick_b2_ws(W, True, np.dtype(np.float32), nsegB_pad),
+        classes_n=classes,
+        remap=sizing.remap,
     )
-    print("b2_ws:", kw["b2_ws"])
+    print("b2_ws:", kw["b2_ws"], "mode: device-self (no host order upload)")
     dev_args = (
         jnp.asarray(Ad.indptr, jnp.int32), jnp.asarray(Ad.indices, jnp.int32),
         jnp.asarray(Ad.data), jnp.asarray(Ad.indptr, jnp.int32),
         jnp.asarray(Ad.indices, jnp.int32), jnp.asarray(Ad.data),
-        jnp.asarray(cls),
+        None,
     )
 
     fn = ss._fused_exec

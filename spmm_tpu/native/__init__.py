@@ -27,12 +27,15 @@ def _load() -> Optional[ctypes.CDLL]:
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH):
-        try:
-            from spmm_tpu.native.build import build
+    try:
+        # build() is an mtime-checked no-op when the library is current;
+        # calling it unconditionally picks up source edits (a stale .so made
+        # newer entry points vanish silently via the AttributeError fallback)
+        from spmm_tpu.native.build import build
 
-            build()
-        except Exception:
+        build()
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -55,6 +58,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.counting_argsort.argtypes = [PLL, LL, LL, PLL]
         lib.spgemm_sizing.restype = LL
         lib.spgemm_sizing.argtypes = [PLL, I32, LL, PLL, LL, LL, PLL, LL, I32, PLL]
+        lib.spgemm_sizing_patch.restype = LL
+        lib.spgemm_sizing_patch.argtypes = [
+            PLL, I32, LL, PLL, LL, LL, PLL, LL, I32, PLL, I32, I32, PLL,
+        ]
         lib.pack_blocked.restype = LL
         lib.pack_blocked.argtypes = [
             PLL, I32, ctypes.c_char_p, LL, LL, LL,
@@ -255,6 +262,33 @@ def spgemm_sizing(a_indptr, a_ind, b_indptr, seg_w: int, classes):
         seg_w, _i64p(classes), len(classes), _i32p(cls), _i64p(nsegB),
     )
     return int(npa), int(nsegB[0]), cls
+
+
+def spgemm_sizing_patch(a_indptr, a_ind, b_indptr, seg_w: int, classes):
+    """Native one-pass SpGEMM slab sizing + dead-run scatter patch.  Returns
+    (npa, nsegB, cls_per_row, patch_pos, patch_val) or None — see
+    ``spgemm_sizing_patch`` in preprocess.cpp."""
+    lib = _load()
+    if lib is None:
+        return None
+    a_indptr = np.ascontiguousarray(a_indptr, dtype=np.int64)
+    a_ind = np.ascontiguousarray(a_ind, dtype=np.int32)
+    b_indptr = np.ascontiguousarray(b_indptr, dtype=np.int64)
+    classes = np.ascontiguousarray(classes, dtype=np.int64)
+    nrowA = len(a_indptr) - 1
+    nrowB = len(b_indptr) - 1
+    cls = np.empty(nrowA, dtype=np.int32)
+    nsegB = np.zeros(1, dtype=np.int64)
+    patch_pos = np.empty(max(len(a_ind), 1), dtype=np.int32)
+    patch_val = np.empty(max(len(a_ind), 1), dtype=np.int32)
+    npatch = np.zeros(1, dtype=np.int64)
+    npa = lib.spgemm_sizing_patch(
+        _i64p(a_indptr), _i32p(a_ind), nrowA, _i64p(b_indptr), nrowB,
+        seg_w, _i64p(classes), len(classes), _i32p(cls), _i64p(nsegB),
+        _i32p(patch_pos), _i32p(patch_val), _i64p(npatch),
+    )
+    k = int(npatch[0])
+    return int(npa), int(nsegB[0]), cls, patch_pos[:k], patch_val[:k]
 
 
 def counting_argsort(keys: np.ndarray, nkeys: int):

@@ -461,6 +461,76 @@ long long spgemm_sizing(const long long* a_indptr, const int* a_ind,
   return npa;
 }
 
+// spgemm_sizing + the DEAD-RUN PATCH for the device plan's set-scatter step
+// function (ops/slab_spgemm.py:_plan_body, patch!=None).  A "dead" A-nonzero
+// points at an empty B row: it expands to nothing, but its delta in the
+// step-function scatter collides with the following live nonzero's — which
+// forces the ~1.6x slower add-scatter.  This pass emits one (position,
+// -chan[previous live]) pair per dead RUN so the device can use unique-index
+// set-scatters and restore the missing deltas with O(dead runs) adds.
+// patch_pos/patch_val must hold >= nnz(A) entries; *npatch_out receives the
+// count.  Everything else matches spgemm_sizing.
+long long spgemm_sizing_patch(const long long* a_indptr, const int* a_ind,
+                              long long nrowA, const long long* b_indptr,
+                              long long nrowB, long long W,
+                              const long long* classes, long long nclasses,
+                              int* cls_out, long long* nsegB_out,
+                              int* patch_pos, int* patch_val,
+                              long long* npatch_out) {
+  uint16_t* nseg16 = new uint16_t[nrowB];
+  long long* bseg_off = new long long[nrowB];
+  long long nsegB = 0;
+  for (long long j = 0; j < nrowB; ++j) {
+    long long s = (b_indptr[j + 1] - b_indptr[j] + W - 1) / W;
+    bseg_off[j] = nsegB;
+    nsegB += s;
+    nseg16[j] = s < 65535 ? (uint16_t)s : (uint16_t)65535;
+  }
+  *nsegB_out = nsegB;
+  long long npa = 0;   // running pa counter == seg_off of the next nonzero
+  // last live nonzero's (column, pa-before) — its chan value
+  // bseg_off[j_live] - pa_live is computed LAZILY, only at a live->dead
+  // edge (~dead-run count), so the hot loop touches just the 2 B/row
+  // nseg16 table like the patchless pass (bseg_off per nonzero was a
+  // second, 8 B random access and cost ~30% end to end)
+  long long j_live = -1, pa_live = 0;
+  long long k = 0;
+  for (long long r = 0; r < nrowA; ++r) {
+    long long row_pa0 = npa;
+    for (long long p = a_indptr[r]; p < a_indptr[r + 1]; ++p) {
+      __builtin_prefetch(&nseg16[a_ind[p + 32 < a_indptr[nrowA] ? p + 32 : p]]);
+      long long j = a_ind[p];
+      long long s = nseg16[j];
+      if (s == 65535) s = (b_indptr[j + 1] - b_indptr[j] + W - 1) / W;
+      if (s > 0) {
+        j_live = j;
+        pa_live = npa;
+        npa += s;
+      } else if (j_live >= 0) {
+        long long c_prev = bseg_off[j_live] - pa_live;
+        if (c_prev != 0) {
+          patch_pos[k] = (int)npa;
+          patch_val[k] = (int)(-c_prev);
+          ++k;
+        }
+        j_live = -1;  // chan is 0 through the rest of this dead run
+      }
+    }
+    long long exp_pad = W * (npa - row_pa0);
+    if (exp_pad == 0) {
+      cls_out[r] = (int)(nclasses + 1);
+    } else {
+      long long c = 0;
+      while (c < nclasses && exp_pad > classes[c]) ++c;
+      cls_out[r] = (int)c;
+    }
+  }
+  *npatch_out = k;
+  delete[] nseg16;
+  delete[] bseg_off;
+  return npa;
+}
+
 // Stable counting argsort of small-integer keys in [0, nkeys):
 // perm_out[new_pos] = old_pos.  O(n + nkeys); replaces numpy's O(n log n)
 // stable argsort for bucket permutations (bitmap reorder: nkeys = sections+1).

@@ -60,10 +60,15 @@ def _slab_loop(E: ELL, B, pick, k, accum_dtype, permute_back):
     return jnp.take(y_sorted, jnp.asarray(E.inv_perm), axis=0)
 
 
-#: narrow-k group pick implementation: "einsum" (one-hot MXU contraction) or
-#: "select" (log2(G) masked VPU selects — no (S, G, k) reshape, no
-#: contraction).  A/B'd on device; the faster one ships as default.
-PICK_IMPL = "select"
+#: narrow-k strategy: "widen" (zero-pad B to 128 lanes, run the wide path,
+#: slice the output), "einsum" (one-hot MXU pick of the k-lane group), or
+#: "select" (log2(G) masked VPU selects).  A/B'd on the web-Google ELL at
+#: k=32 (r2): widen 70.9 ms == the k=128 wide path's 71.6 ms, fold+einsum
+#: 84.6, fold+select 91.3 — the kernel is gather-bound and gathers charge
+#: per ROW, so the wide fetch costs the same while every pick variant adds
+#: a per-slot pass (the same finding that set the SpGEMM B2 stride,
+#: micro_b2gather.py: wide k-lane group picks are the slow configuration).
+PICK_IMPL = "widen"
 
 
 def ell_spmm(
@@ -73,9 +78,19 @@ def ell_spmm(
     """Y[m, k] = A @ B for A in ELL form."""
     k = B.shape[-1]
     if k < 128:
-        # narrow RHS: gathers charge per ROW and narrow lanes pick padded
-        # layouts.  Measured at web-Google scale, k=32: native-width gathers
-        # 120 ms, widen-B-to-128 93 ms, reshape-select (below) 58 ms.
+        impl0 = pick_impl or PICK_IMPL
+        if impl0 == "widen":
+            # zero-pad the RHS to full lane width and run the wide path: the
+            # kernel is gather-bound and gathers charge per ROW, so the wide
+            # fetch is free while every fold-and-pick variant pays a per-slot
+            # pass (see PICK_IMPL) — the k=32 inversion of r1 came from here
+            Bp = jnp.concatenate(
+                [B, jnp.zeros((B.shape[0], 128 - k), B.dtype)], axis=1
+            )
+            return ell_spmm(
+                E, Bp, accum_dtype=accum_dtype, permute_back=permute_back,
+                pick_impl=pick_impl,
+            )[:, :k]
         kp = k if 128 % k == 0 else _next_pow2(k)
         if kp != k:
             Bp = jnp.concatenate([B, jnp.zeros((B.shape[0], kp - k), B.dtype)], axis=1)

@@ -152,16 +152,32 @@ def spmv_attainable(nnz_padded: int, rates: MeasuredRates = V5E_RATES) -> float:
     return nnz_padded / rates.scalar_gather_s
 
 
-def spgemm_attainable(npa: int, slots: int, nnz_b: int,
+def spgemm_attainable(npa: int, slots: int, nnz_b: int, nnz_a: int | None = None,
                       rates: MeasuredRates = V5E_RATES) -> float:
-    """Attainable seconds for slab-ESC SpGEMM: one table-row gather per pa
-    (the expansion must be gathered), one batched sort + merge pass over the
-    padded slots (x2 for the compaction sort), one nnz(B)-element scatter to
-    build the segment table."""
+    """Attainable seconds for slab-ESC SpGEMM: every irreducible primitive
+    invocation of the algorithm class, each at its measured best rate:
+
+    - one segment-table row gather per pa (the expansion must be gathered);
+    - one B-row-geometry row gather per A nonzero (each nonzero must learn
+      its B row's segment count/offset — a random per-nonzero access);
+    - one nnz(B)-element scatter building the aligned segment table, and one
+      nnz(A)-element scatter materializing the pa step function (ESC's
+      linearization of partials into a flat pa space);
+    - one batched minor-axis sort over the padded slots plus the
+      merge-compaction sort (2 x slots).
+
+    Deliberately EXCLUDES the elementwise mask/iota/run-detection passes
+    (the calibrated elementwise rate is shape-sensitive) — the bound stays
+    a true lower envelope.  r1's version counted only the first gather, one
+    scatter and the sorts; the omitted terms made ``att_frac`` understate
+    the kernel by ~1.5x."""
+    if nnz_a is None:
+        nnz_a = nnz_b  # the A x A reference workload
     return (
         npa / rates.row_gather_rows_s
+        + nnz_a / rates.row_gather_rows_s
         + 2.0 * slots / rates.sort_batched_s
-        + nnz_b / rates.scatter_elems_s
+        + (nnz_b + nnz_a) / rates.scatter_elems_s
     )
 
 

@@ -5,12 +5,15 @@ partial products by (row, col) plus per-element gathers.  Both are the wrong
 shape for TPU.  Measured on v5e (8-32M elements):
 
   =========================================  ============
-  global 1-D ``lax.sort`` (1key+2pay)         ~300 M/s
-  scatter (``segment_sum`` / ``.at[]``)       ~110 M/s
-  scalar gather (``x[idx]``)                  ~135 M/s
+  global 1-D ``lax.sort`` (1key+2pay)         ~385 M/s
+  scatter-add (``segment_sum`` / ``.at[]``)   ~114 M/s  (sorted set: 151 M/s)
+  scalar gather (``x[idx]``)                  ~139 M/s
   ``vmap(dynamic_slice)`` window gather       ~140 M/s
-  **aligned 2-D row gather** ``take(t2d, i)``  ~1 G elem/s (W=4) .. 8 G (W=128)
-  batched minor-axis sort (width 32-512)      ~5-12 G elem/s
+  **aligned 2-D row gather** ``take(t2d, i)``  70-229 M ROWS/s — faster from
+                                               SMALLER tables; group picks
+                                               cheap at <= 16 groups
+                                               (micro_b2gather.py)
+  batched minor-axis sort (width 16-512)      ~7-12 G elem/s
   cumsum / cummax / elementwise               >> all of the above
   =========================================  ============
 
@@ -147,21 +150,19 @@ def _pick_group(g, grp, ws):
     )
 
 
-#: cap on the B2 segment table's bytes when auto-WIDENING its per-segment
-#: stride (``_pick_b2_ws``).  Widening trades transient HBM capacity for
-#: pick work in the chunks: at ws=128 each B2 gather row IS one segment and
-#: the one-hot pick disappears entirely (it was ~85 ms of the web-Google
-#: device budget at ws=4 / 32 groups); gathers charge per ROW on v5e, so the
-#: wider rows cost nothing to fetch.
-_B2_BYTES_CAP = 1 << 30
-
-
 def _pick_b2_ws(W: int, pattern: bool, b_dtype, nsegB_pad: int) -> int:
+    """B2 per-segment stride: the FOLD width rounded up to >= 8 lanes.
+
+    Measured on v5e (benchmarks/micro_b2gather.py, 8.3M gathers from a
+    1.5M-segment table): gathers from a compact folded table with a one-hot
+    pick over <= 16 groups run ~3x faster than full-width 128-lane rows
+    (ws=8: 218 M segs/s, ws=16: 220 M, vs ws=128 "no pick": 70 M; ws=4's
+    32-group pick drops to 150 M).  Round 1 auto-widened toward 128 to kill
+    the pick — backwards at these table sizes: the small table is what the
+    gather wants, and the pick fuses cheaply at <= 16 groups."""
     nvb = 0 if pattern else np.dtype(b_dtype).itemsize // 4
     ws = _fold_ws(W if pattern else (1 + nvb) * W)
-    while ws < 128 and nsegB_pad * (ws * 2) * 4 <= _B2_BYTES_CAP:
-        ws *= 2
-    return ws
+    return max(ws, 8)
 
 
 def _extract_window(table128, start, nwin):
@@ -210,8 +211,9 @@ class SpgemmPlan:
     b2_packed: jax.Array
     #: tuple of 1-D (npa_pad,) channels: (b2row[, A-value bits...])
     pa_packed: tuple
-    pa_row_base: jax.Array  #: (nrow,) first pa of each output row
-    npa_row: jax.Array  #: (nrow,) pa count per output row
+    #: (nrow_pad, 2) [first pa, pa count] per row IN rows_sorted ORDER — the
+    #: chunks dynamic_slice their row range instead of gathering per row
+    rowmeta: jax.Array
     rows_sorted: jax.Array  #: (nrow_pad,) row ids ordered by class
     # host-side (static metadata)
     classes: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
@@ -233,24 +235,27 @@ class SpgemmPlan:
     b2_ws: int | None = dataclasses.field(metadata=dict(static=True), default=None)
 
 
-def _plan_body(
-    a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_of_row,
-    *, W, npa_pad, nsegB_pad, nrow, nrow_pad, nnz, pattern=False, b2_ws=None
+def _b2_build_body(
+    b_indptr, b_ind, b_dat, bseg_off=None, *, W, nsegB_pad, pattern=False,
+    b2_ws=None,
 ):
-    from spmm_tpu.ops.segments import boundary_segments
+    """Aligned padded B table (one-time per B): pad rows to W multiples.
 
-    lenB = b_indptr[1:] - b_indptr[:-1]
-    nrowB = lenB.shape[0]
-
-    # --- aligned padded B table (one-time per B): pad rows to W multiples ---
-    # built by SCATTER (per-nonzero destination = position + pads inserted
-    # before it), not by per-slot gather: a (nsegB*W,)-element gather costs
-    # ~7 ns/element on v5e while the scatter moves only nnz(B) elements.
-    # The per-position pad offset is a per-row step function: materialized as
-    # the cumsum of TELESCOPING deltas scattered at row starts (collisions at
-    # empty rows sum correctly), avoiding any per-nonzero row gathers.
-    nsegB_row = (lenB + W - 1) // W
-    bseg_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(nsegB_row)])
+    Built by SCATTER (per-nonzero destination = position + pads inserted
+    before it), not by per-slot gather: a (nsegB*W,)-element gather costs
+    ~7 ns/element on v5e while the scatter moves only nnz(B) elements.
+    The per-position pad offset is a per-row step function: materialized as
+    the cumsum of TELESCOPING deltas scattered at row starts (collisions at
+    empty rows sum correctly), avoiding any per-nonzero row gathers.
+    FOLDED storage (see _fold_ws): one flat int32 array, ws lanes per
+    segment ([cols | value bits | dead]), reshaped to full (X, 128) rows —
+    never a narrow (nsegB, w) physical table."""
+    if bseg_off is None:
+        lenB = b_indptr[1:] - b_indptr[:-1]
+        nsegB_row = (lenB + W - 1) // W
+        bseg_off = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(nsegB_row)]
+        )
     nnzB_pad = b_ind.shape[0]
     posb = jnp.arange(nnzB_pad, dtype=jnp.int32)
     c_row = bseg_off[:-1] * W - b_indptr[:-1]  # (nrowB,) pad offset per row
@@ -260,9 +265,6 @@ def _plan_body(
     )
     dest = posb + jnp.cumsum(dd)[:nnzB_pad]
     dest = jnp.where(posb < b_indptr[-1], dest, nsegB_pad * W)  # drop padding
-    # FOLDED storage (see _fold_ws): one flat int32 array, ws lanes per
-    # segment ([cols | value bits | dead]), reshaped to full (X, 128) rows —
-    # never a narrow (nsegB, w) physical table
     nvb = 0 if pattern else np.dtype(b_dat.dtype).itemsize // 4
     ws_b = b2_ws or _fold_ws(W if pattern else (1 + nvb) * W)
     seg = dest // W
@@ -278,44 +280,145 @@ def _plan_body(
             flat = flat.at[seg * ws_b + W + w_in * nvb + i].set(
                 bits_b[:, i], mode="drop"
             )
-    b2_packed = flat.reshape(-1, 128)
+    return flat.reshape(-1, 128)
 
-    # --- pa enumeration (kept A-nonzero x B-segment) -------------------------
-    # KNOWN COST: brow_tab below is a (nrowB, 4) table and therefore
-    # tile-padded 32x (~0.5 GB/M rows of B, transient).  Folding it like B2
-    # would cut capacity but not gather traffic (each fetch already reads a
-    # full 512 B tile row), and pair-interleaved constructions materialize
-    # padded intermediates (measured: stack+reshape of 10M pairs = 5 GB
-    # temp) — the huge-B regime is instead handled by piece streaming
-    # (spgemm_slab_big).
-    # pa_b2row is a ramp (+1 per pa) with per-a rebasing to bseg_off[j]:
-    # again a telescoping-delta cumsum (one nnz-sized scatter), and pa_aval
-    # is a per-a step function of the A values — same trick on the value
-    # BITS (int32 delta sums are exact mod 2^32, so the reconstruction is
-    # bit-exact; float deltas would drift).  No npa-scale gathers anywhere.
+
+_b2_build = jax.jit(
+    _b2_build_body,
+    static_argnames=("W", "nsegB_pad", "pattern", "b2_ws"),
+)
+
+
+def _pre_build_body(
+    a_ind, b_indptr, b_ind, b_dat, *, W, nsegB_pad, nnz, pattern=False,
+    b2_ws=None,
+):
+    """Everything the plan can compute WITHOUT the host sizing pass: the B2
+    table plus the per-A-nonzero expansion stage (brow gather, seg_off
+    cumsum, rebase channel c_a) — only the npa-sized tables and the chunks
+    need sizing's static shapes.
+
+    MEASURED NEGATIVE RESULT (web-Google A x A, v5e via the remote tunnel):
+    prelaunching this full stage ran ~30 ms SLOWER end-to-end (345 vs
+    313 ms) than prelaunching just the B2 table (_b2_build) — the extra
+    cross-program buffers (seg_off, c_a: 40 MB) cost more in materialization
+    and program-boundary overhead than the overlap with host sizing buys.
+    The fused path therefore prelaunches only _b2_build; this function is
+    kept as the documented experiment and for plan-phase reuse."""
+    lenB = b_indptr[1:] - b_indptr[:-1]
+    nrowB = lenB.shape[0]
+    nsegB_row = (lenB + W - 1) // W
+    bseg_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(nsegB_row)])
+    b2_packed = _b2_build_body(
+        b_indptr, b_ind, b_dat, bseg_off,
+        W=W, nsegB_pad=nsegB_pad, pattern=pattern, b2_ws=b2_ws,
+    )
     nnz_pad = a_ind.shape[0]
     pos = jnp.arange(nnz_pad, dtype=jnp.int32)
     jj = jnp.clip(a_ind, 0, nrowB - 1)
-    # one (nrowB, 4) table so the three per-B-row lookups ride ONE row gather
-    # (gathers charge per row; three scalar gathers cost 3x this)
-    brow_tab = jnp.stack(
-        [lenB, nsegB_row, bseg_off[:-1], jnp.zeros_like(lenB)], axis=1
-    )
-    bg = jnp.take(brow_tab, jj, axis=0)  # (nnz_pad, 4)
+    brow_tab = jnp.stack([nsegB_row, bseg_off[:-1]], axis=1)
+    bg = jnp.take(brow_tab, jj, axis=0)  # (nnz_pad, 2)
     live_a = (pos < nnz) & (bg[:, 0] > 0)
-    nseg_a = jnp.where(live_a, bg[:, 1], 0)
+    nseg_a = jnp.where(live_a, bg[:, 0], 0)
     seg_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(nseg_a)])
+    c_a = jnp.where(live_a, bg[:, 1] - seg_off[:-1], 0)
+    return b2_packed, seg_off, c_a
+
+
+_pre_build = jax.jit(
+    _pre_build_body,
+    static_argnames=("W", "nsegB_pad", "nnz", "pattern", "b2_ws"),
+)
+
+
+def _plan_body(
+    a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, order,
+    *, W, npa_pad, nsegB_pad, nrow, nrow_pad, nnz, pattern=False, b2_ws=None,
+    presorted=False, patch=None, b2_packed=None, classes_n=None, remap=None,
+    pre=None,
+):
+    """``order``: per-row class ids (device sorts, ``presorted=False``), a
+    host-precomputed ``rows_sorted`` of length ``nrow_pad``
+    (``presorted=True``), or ``None`` with static ``classes_n`` — the class
+    vector is then recomputed ON DEVICE from the pa bounds (``remap`` = the
+    static small-class fold table).  The fused path uses the last mode: a
+    per-multiply host->device upload of any nrow/nnz-scale array costs
+    ~150 ms of tunnel latency on the remote device — far more than the
+    ~15 ms the device sort + classify cost (measured 716 ms vs 262 ms end
+    to end with host-uploaded order+patch arrays).
+
+    ``patch``: optional (dead_pos, dead_val) arrays enabling the set-scatter
+    step function (see the step_fn comment); pattern mode only — its values
+    correct the b2row channel, and value channels would need their own.
+    Only worth it when the arrays are already resident (plan reuse), never
+    for a per-multiply upload.  ``b2_packed``: a prebuilt B2 table
+    (``_b2_build``).  ``pre``: the (b2_packed, seg_off, c_a) triple from a
+    ``_pre_build`` dispatch — the fused host path launches it BEFORE the
+    host sizing pass so ~70 ms of device time overlaps host work."""
+    assert patch is None or pattern, "dead-run patch is pattern-mode only"
+    nnz_pad = a_ind.shape[0]
+    pos = jnp.arange(nnz_pad, dtype=jnp.int32)
+    if pre is not None:
+        b2_packed, seg_off, c_a = pre
+        live_a = (seg_off[1:] - seg_off[:-1]) > 0
+    else:
+        lenB = b_indptr[1:] - b_indptr[:-1]
+        nrowB = lenB.shape[0]
+        nsegB_row = (lenB + W - 1) // W
+        bseg_off = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(nsegB_row)]
+        )
+        if b2_packed is None:
+            b2_packed = _b2_build_body(
+                b_indptr, b_ind, b_dat, bseg_off,
+                W=W, nsegB_pad=nsegB_pad, pattern=pattern, b2_ws=b2_ws,
+            )
+
+        # --- pa enumeration (kept A-nonzero x B-segment) ---------------------
+        # pa_b2row is a ramp (+1 per pa) with per-a rebasing to bseg_off[j]:
+        # a telescoping-delta cumsum (one nnz-sized scatter), and pa_aval
+        # is a per-a step function of the A values — same trick on the value
+        # BITS (int32 delta sums are exact mod 2^32, so the reconstruction is
+        # bit-exact; float deltas would drift).  No npa-scale gathers anywhere.
+        jj = jnp.clip(a_ind, 0, nrowB - 1)
+        # one (nrowB, 2) table so the two per-B-row lookups ride ONE row gather
+        # (gathers charge per row; two scalar gathers cost 2x this)
+        brow_tab = jnp.stack([nsegB_row, bseg_off[:-1]], axis=1)
+        bg = jnp.take(brow_tab, jj, axis=0)  # (nnz_pad, 2)
+        live_a = (pos < nnz) & (bg[:, 0] > 0)
+        nseg_a = jnp.where(live_a, bg[:, 0], 0)
+        seg_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(nseg_a)])
+        c_a = jnp.where(live_a, bg[:, 1] - seg_off[:-1], 0)
     pa_idx = jnp.arange(npa_pad, dtype=jnp.int32)
     pa_live = pa_idx < seg_off[-1]
 
-    c_a = jnp.where(live_a, bg[:, 2] - seg_off[:-1], 0)
+    if patch is not None:
+        # SET-scatter step function (~1.6x the add-scatter's rate,
+        # benchmarks/micro_scatter.py).  Live entries have strictly
+        # increasing seg_off (each owns >= 1 segment) so their writes are
+        # unique; dead/pad entries are routed to the dump slot npa_pad
+        # (cumsum[:npa_pad] never reads it).  A dead run's missing delta
+        # (-chan[previous live]) is restored by the host-precomputed
+        # ``patch`` adds — one entry per dead run, O(dead runs) << nnz.
+        idx_live = jnp.where(live_a, seg_off[:-1], npa_pad)
+        patch_pos, patch_val = patch
 
-    def step_fn(chan):  # 1-D scatters: XLA handles them ~5x faster than a
-        prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), chan[:-1]])  # wide payload
-        d = jnp.zeros((npa_pad + 1,), jnp.int32).at[seg_off[:-1]].add(
-            chan - prev, mode="drop"
-        )
-        return jnp.cumsum(d)[:npa_pad]
+        def step_fn(chan):
+            prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), chan[:-1]])
+            d = jnp.zeros((npa_pad + 1,), jnp.int32).at[idx_live].set(
+                chan - prev, mode="drop"
+            )
+            d = d.at[patch_pos].add(patch_val, mode="drop")
+            return jnp.cumsum(d)[:npa_pad]
+
+    else:
+
+        def step_fn(chan):  # 1-D scatters: XLA handles them ~5x faster than a
+            prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), chan[:-1]])  # wide payload
+            d = jnp.zeros((npa_pad + 1,), jnp.int32).at[seg_off[:-1]].add(
+                chan - prev, mode="drop"
+            )
+            return jnp.cumsum(d)[:npa_pad]
 
     pa_b2row = jnp.where(pa_live, step_fn(c_a) + pa_idx, nsegB_pad - 1)
     if pattern:
@@ -334,13 +437,35 @@ def _plan_body(
             jnp.where(pa_live, step_fn(v_a[:, i]), 0) for i in range(nv)
         )
 
-    pa_row_base = seg_off[a_indptr[:-1]]
-    npa_row = seg_off[a_indptr[1:]] - pa_row_base
+    # ONE (nrow+1,) gather of the row bounds; base and count derive by shift
+    bounds = jnp.take(seg_off, a_indptr)
+    pa_row_base = bounds[:-1]
+    npa_row = bounds[1:] - bounds[:-1]
 
-    rows = jnp.arange(nrow, dtype=jnp.int32)
-    _, rows_sorted = jax.lax.sort((cls_of_row, rows), num_keys=1, is_stable=True)
-    rows_sorted = jnp.concatenate([rows_sorted, jnp.zeros((nrow_pad - nrow,), jnp.int32)])
-    return b2_packed, pa_packed, pa_row_base, npa_row, rows_sorted
+    if order is None:
+        # device-side class vector (mirrors _sizing's host rule exactly —
+        # test_spgemm_slab checks host/device sizing agreement)
+        classes_arr = jnp.asarray(np.asarray(classes_n, np.int32))
+        exp_pad_row = W * npa_row
+        cls_dev = jnp.searchsorted(classes_arr, exp_pad_row, side="left").astype(
+            jnp.int32
+        )
+        cls_dev = jnp.where(exp_pad_row == 0, len(classes_n) + 1, cls_dev)
+        if remap is not None:
+            cls_dev = jnp.take(jnp.asarray(np.asarray(remap, np.int32)), cls_dev)
+        order = cls_dev
+
+    if presorted:
+        rows_sorted = order  # host counting-argsort, already nrow_pad long
+    else:
+        rows = jnp.arange(nrow, dtype=jnp.int32)
+        _, rs = jax.lax.sort((order, rows), num_keys=1, is_stable=True)
+        rows_sorted = jnp.concatenate([rs, jnp.zeros((nrow_pad - nrow,), jnp.int32)])
+    # pre-permute (base, count) into class order: ONE nrow_pad row gather here
+    # replaces two scalar gathers per chunk row downstream
+    meta = jnp.stack([pa_row_base, npa_row], axis=1)
+    rowmeta = jnp.take(meta, rows_sorted, axis=0)
+    return b2_packed, pa_packed, rowmeta, rows_sorted
 
 
 class _ExpansionTooLarge(ValueError):
@@ -407,18 +532,43 @@ def _sizing_device(A: CSR, B: CSR, W: int, classes):
             remap[remap == ci] = ci + 1
     if not np.array_equal(remap, np.arange(len(classes) + 2, dtype=np.int32)):
         cls = jnp.take(jnp.asarray(remap), cls)
-    return (
-        int(npa),
-        int(nsegB),
-        cls,
-        tuple(int(c) for c in counts[: len(classes) + 1]),
+    return Sizing(
+        npa=int(npa),
+        nsegB=int(nsegB),
+        cls=cls,
+        counts=tuple(int(c) for c in counts[: len(classes) + 1]),
     )
 
 
-def _sizing(A: CSR, B: CSR, W: int, classes):
-    """O(nnz+nrow) sizing: (npa, nsegB, per-row class, counts).  Native C++
-    single pass when available; vectorized numpy fallback.  Device-resident
-    operands route to :func:`_sizing_device` (no nnz-scale D2H)."""
+@dataclasses.dataclass
+class Sizing:
+    """Host-side sizing result.  Iterates as the legacy 4-tuple
+    (npa, nsegB, cls, counts).  Host-path extras feed the fused plan:
+    ``patch`` — the dead-run scatter corrections that let the plan use
+    unique-index set-scatters (pattern mode; see _plan_body) — and
+    ``rows_sorted`` — the class permutation as a native counting argsort,
+    saving the device-side stable sort."""
+
+    npa: int
+    nsegB: int
+    cls: object  # (nrow,) per-row class — numpy (host path) or jax.Array
+    counts: tuple
+    patch: tuple | None = None  # (pos, val) int32 numpy arrays
+    rows_sorted: np.ndarray | None = None  # (nrow,) int32, class-stable order
+    #: small-class fold table (raw class -> folded class), or None if no
+    #: folds happened; the device-side classifier replays it
+    remap: tuple | None = None
+
+    def __iter__(self):
+        return iter((self.npa, self.nsegB, self.cls, self.counts))
+
+
+def _sizing(A: CSR, B: CSR, W: int, classes) -> Sizing:
+    """O(nnz+nrow) sizing: (npa, nsegB, per-row class, counts) plus the
+    host-path extras (dead-run patch, presorted class permutation).  Native
+    C++ single pass when available; vectorized numpy fallback.
+    Device-resident operands route to :func:`_sizing_device` (no nnz-scale
+    D2H; no extras)."""
     if not isinstance(A.data, np.ndarray) or not isinstance(B.data, np.ndarray):
         return _sizing_device(A, B, W, classes)
     Ah, Bh = A.host(), B.host()
@@ -426,20 +576,22 @@ def _sizing(A: CSR, B: CSR, W: int, classes):
     try:
         from spmm_tpu import native
 
-        res = native.spgemm_sizing(
+        res = native.spgemm_sizing_patch(
             np.asarray(Ah.indptr), np.asarray(Ah.indices[: A.nnz]),
             np.asarray(Bh.indptr), W, np.asarray(classes, np.int64),
         )
     except Exception:
         res = None
     if res is not None:
-        npa, nsegB, cls = res
+        npa, nsegB, cls, patch_pos, patch_val = res
     else:
         b_iptr = np.asarray(Bh.indptr, dtype=np.int64)
         lenB = b_iptr[1:] - b_iptr[:-1]
         nsegB = int(((lenB + W - 1) // W).sum())
         a_ind = np.asarray(Ah.indices, dtype=np.int64)[: A.nnz]
-        nseg_a = np.where(lenB[a_ind] > 0, (lenB[a_ind] + W - 1) // W, 0)
+        lenB_a = lenB[a_ind]
+        live = lenB_a > 0
+        nseg_a = np.where(live, (lenB_a + W - 1) // W, 0)
         npa = int(nseg_a.sum())
         segc = np.zeros(A.nnz + 1, dtype=np.int64)
         np.cumsum(nseg_a, out=segc[1:])
@@ -451,17 +603,76 @@ def _sizing(A: CSR, B: CSR, W: int, classes):
         for c in classes:
             cls += (exp_pad_row > c).astype(np.int32)
         cls[exp_pad_row == 0] = len(classes) + 1
+        # dead-run patch (numpy mirror of the native pass): chan = the step
+        # channel the device scatters; one correction per live->dead edge
+        bseg_off = np.zeros(len(lenB), dtype=np.int64)
+        np.cumsum((lenB[:-1] + W - 1) // W, out=bseg_off[1:])
+        chan = np.where(live, bseg_off[a_ind] - segc[:-1], 0)
+        chan_prev = np.concatenate([np.zeros(1, np.int64), chan[:-1]])
+        edge = (~live) & (chan_prev != 0)
+        patch_pos = segc[:-1][edge].astype(np.int32)
+        patch_val = (-chan_prev[edge]).astype(np.int32)
     if npa * W >= _MAX_EXP_PAD:
         raise _ExpansionTooLarge(npa * W)
     # fold small classes into the next one up: a tiny chunk costs a whole
     # dispatch; the padding increase is bounded by count * L_next
     counts = np.bincount(cls, minlength=len(classes) + 2)
+    remap = np.arange(len(classes) + 2, dtype=np.int32)
     for ci in range(len(classes) - 1):
         if 0 < counts[ci] < FOLD_THRESHOLD:
             cls[cls == ci] = ci + 1
             counts[ci + 1] += counts[ci]
             counts[ci] = 0
-    return npa, nsegB, cls, tuple(int(c) for c in counts[: len(classes) + 1])
+            remap[remap == ci] = ci + 1
+    folded = not np.array_equal(remap, np.arange(len(classes) + 2, dtype=np.int32))
+    try:
+        from spmm_tpu import native
+
+        rs = native.counting_argsort(cls.astype(np.int64), len(classes) + 2)
+        rows_sorted = None if rs is None else rs.astype(np.int32)
+    except Exception:
+        rows_sorted = None
+    if rows_sorted is None:
+        rows_sorted = np.argsort(cls, kind="stable").astype(np.int32)
+    return Sizing(
+        npa=npa,
+        nsegB=nsegB,
+        cls=cls,
+        counts=tuple(int(c) for c in counts[: len(classes) + 1]),
+        patch=(patch_pos, patch_val),
+        rows_sorted=rows_sorted,
+        remap=tuple(int(x) for x in remap) if folded else None,
+    )
+
+
+#: dead-run patch arrays are padded to this granule so patch counts that
+#: drift between runs reuse the compiled program (pad entries add 0 at the
+#: dump slot npa_pad)
+_PATCH_GRANULE = 1 << 14
+
+
+def _plan_order_args(sizing: Sizing, nrow_pad: int, npa_pad: int, pattern: bool):
+    """(order, presorted, patch) plan arguments from a Sizing: host sizings
+    carry a precomputed class permutation (skip the device sort) and — in
+    pattern mode — the dead-run patch enabling set-scatters."""
+    if sizing.rows_sorted is not None:
+        rs = np.zeros(nrow_pad, np.int32)
+        rs[: len(sizing.rows_sorted)] = sizing.rows_sorted
+        order = jnp.asarray(rs)
+        presorted = True
+    else:
+        order = jnp.asarray(sizing.cls)
+        presorted = False
+    patch = None
+    if pattern and sizing.patch is not None:
+        pos, val = sizing.patch
+        k = _round_up(len(pos), _PATCH_GRANULE)
+        pp = np.full(k, npa_pad, np.int32)
+        pv = np.zeros(k, np.int32)
+        pp[: len(pos)] = pos
+        pv[: len(val)] = val
+        patch = (jnp.asarray(pp), jnp.asarray(pv))
+    return order, presorted, patch
 
 
 def spgemm_plan(
@@ -484,21 +695,23 @@ def spgemm_plan(
     if pattern is None:
         pattern = _is_pattern(A) and _is_pattern(B)
     A_dev, B_dev = (A_dev or A), (B_dev or B)
-    npa, nsegB, cls, counts = _sizing(A, B, W, classes)
+    sizing = _sizing(A, B, W, classes)
+    npa, nsegB, cls, counts = sizing
 
     max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
     nrow_pad = A.nrow + max_chunk
     npa_pad = _round_up(npa, 1024)
     nsegB_pad = _round_up(nsegB, 1024)
     b2_ws = _pick_b2_ws(W, pattern, np.dtype(B_dev.data.dtype), nsegB_pad)
-    (b2_packed, pa_packed, pa_row_base, npa_row, rows_sorted) = _plan_device(
+    order, presorted, patch = _plan_order_args(sizing, nrow_pad, npa_pad, pattern)
+    (b2_packed, pa_packed, rowmeta, rows_sorted) = _plan_device(
         jnp.asarray(A_dev.indptr, jnp.int32),
         jnp.asarray(A_dev.indices, jnp.int32),
         jnp.asarray(A_dev.data),
         jnp.asarray(B_dev.indptr, jnp.int32),
         jnp.asarray(B_dev.indices, jnp.int32),
         jnp.asarray(B_dev.data),
-        jnp.asarray(cls),
+        order,
         W=W,
         npa_pad=npa_pad,
         nsegB_pad=nsegB_pad,
@@ -507,12 +720,13 @@ def spgemm_plan(
         nnz=A.nnz,
         pattern=pattern,
         b2_ws=b2_ws,
+        presorted=presorted,
+        patch=patch,
     )
     return SpgemmPlan(
         b2_packed=b2_packed,
         pa_packed=pa_packed,
-        pa_row_base=pa_row_base,
-        npa_row=npa_row,
+        rowmeta=rowmeta,
         rows_sorted=rows_sorted,
         classes=classes,
         class_counts=counts,
@@ -536,8 +750,7 @@ def _chunk_body(
     b2_packed,  # (nsegB_pad, (1+nvb)*W): [cols | B value bits]
     pa_packed,  # (npa_pad, 1+nva): [b2row | A value bits]
     rows_sorted,
-    pa_row_base,
-    npa_row,
+    rowmeta,  # (nrow_pad, 2) [first pa, pa count] in rows_sorted order
     start,  # scalar: offset into rows_sorted of this chunk
     count,  # scalar: valid rows in this chunk
     *,
@@ -562,8 +775,11 @@ def _chunk_body(
     ii = jnp.arange(R_pad, dtype=jnp.int32)
     in_chunk = ii < count
     r = jax.lax.dynamic_slice(rows_sorted, (start,), (R_pad,))
-    base = jnp.where(in_chunk, pa_row_base[r], 0)
-    nb = jnp.where(in_chunk, npa_row[r], 0)
+    # (base, count) pre-permuted into class order by the plan: contiguous
+    # slices here, no per-row gathers
+    mm = jax.lax.dynamic_slice(rowmeta, (start, 0), (R_pad, 2))
+    base = jnp.where(in_chunk, mm[:, 0], 0)
+    nb = jnp.where(in_chunk, mm[:, 1], 0)
 
     bi = jax.lax.broadcasted_iota(jnp.int32, (R_pad, nblk), 1)
     bm = bi < nb[:, None]  # mask blocks that belong to other rows / padding
@@ -582,9 +798,25 @@ def _chunk_body(
         g = _pick_group(jnp.take(b2_packed, b2r // Gb, axis=0), b2r % Gb, ws_b)
     col = g[:, :W]
     if pattern:
+        # every partial's value is 1 (the reference's forced-pattern
+        # semantics): no value array is materialized at all — run sums are
+        # recovered from POSITIONS after the sorts (a run of c equal columns
+        # contributes value c), halving the payload of both batched sorts
+        # and deleting the cumsum
         valid = bm.reshape(-1)[:, None] & (col != _INT_MAX)
         col = jnp.where(valid, col, _INT_MAX).reshape(R_pad, L)
-        val = valid.astype(accum_dtype).reshape(R_pad, L)
+        (col_s,) = jax.lax.sort((col,), dimension=1, num_keys=1)
+        p = jax.lax.broadcasted_iota(jnp.int32, (R_pad, L), 1)
+        firsts = (p == 0) | (col_s != _shift_right(col_s))
+        lasts = jnp.concatenate([firsts[:, 1:], jnp.ones((R_pad, 1), bool)], axis=1)
+        out_key = jnp.where(lasts & (col_s != _INT_MAX), p, _INT_MAX)
+        outk_s, cols_u = jax.lax.sort((out_key, col_s), dimension=1, num_keys=1)
+        # run length = this run's last position minus the previous run's
+        # (positions of pad slots are INT_MAX: garbage there, masked by nuniq)
+        prevk = _shift_right(outk_s)
+        vals_u = jnp.where(p == 0, outk_s + 1, outk_s - prevk).astype(accum_dtype)
+        nuniq = jnp.sum(lasts & (col_s != _INT_MAX), axis=1).astype(jnp.int32)
+        return r, cols_u, vals_u, nuniq
     else:
         avbits = jnp.stack(
             [
@@ -627,7 +859,8 @@ def _chunk_body(
 _plan_device = jax.jit(
     _plan_body,
     static_argnames=(
-        "W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "nnz", "pattern", "b2_ws",
+        "W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "nnz", "pattern",
+        "b2_ws", "presorted", "classes_n", "remap",
     ),
 )
 _numeric_chunk = jax.jit(
@@ -698,6 +931,8 @@ def spgemm_slab_csr(
     classes_n = tuple(sorted({_round_up(c, W) for c in classes}))
     if sizing is None:
         sizing = _sizing(A, B, W, classes_n)
+    elif not isinstance(sizing, Sizing):  # legacy 4-tuple callers
+        sizing = Sizing(*sizing)
     outs, tail_rows, _ = spgemm_slab_device(
         A, B, classes=classes, seg_w=seg_w, slot_budget=slot_budget,
         accum_dtype=accum_dtype, A_dev=A_dev, B_dev=B_dev, pattern=pattern,
@@ -710,7 +945,7 @@ def spgemm_slab_csr(
         )
     if nnz_pad is None:
         # padded expansion bound: every output nnz is at least one partial
-        nnz_pad = _round_up(sizing[0] * W, 1024)
+        nnz_pad = _round_up(sizing.npa * W, 1024)
     data, indices, indptr, knnz = _compact_to_csr(
         tuple(o[0] for o in outs),
         tuple(o[1] for o in outs),
@@ -748,26 +983,30 @@ def _chunk_schedule(classes, counts, slot_budget):
     jax.jit,
     static_argnames=(
         "W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "nnz", "schedule",
-        "accum_dtype", "pattern", "b2_ws",
+        "accum_dtype", "pattern", "b2_ws", "presorted", "classes_n", "remap",
     ),
 )
 def _fused_exec(
-    a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_of_row,
+    a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, order,
     *, W, npa_pad, nsegB_pad, nrow, nrow_pad, nnz, schedule, accum_dtype,
-    pattern=False, b2_ws=None,
+    pattern=False, b2_ws=None, presorted=False, patch=None, b2_packed=None,
+    classes_n=None, remap=None, pre=None,
 ):
     """plan + every class chunk in ONE compiled program — a single dispatch
     (the remote-device tunnel charges ~50 ms per dispatch plus a fence
-    round-trip, so one program beats ten)."""
-    (b2_packed, pa_packed, pa_row_base, npa_row, rows_sorted) = _plan_body(
-        a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_of_row,
+    round-trip, so one program beats ten).  ``pre``: the (b2, seg_off, c_a)
+    triple from an earlier ``_pre_build`` dispatch (overlapped with host
+    sizing)."""
+    (b2_packed, pa_packed, rowmeta, rows_sorted) = _plan_body(
+        a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, order,
         W=W, npa_pad=npa_pad, nsegB_pad=nsegB_pad, nrow=nrow, nrow_pad=nrow_pad,
-        nnz=nnz, pattern=pattern, b2_ws=b2_ws,
+        nnz=nnz, pattern=pattern, b2_ws=b2_ws, presorted=presorted, patch=patch,
+        b2_packed=b2_packed, classes_n=classes_n, remap=remap, pre=pre,
     )
     a_dt, b_dt = str(a_dat.dtype), str(b_dat.dtype)
     outs = tuple(
         _chunk_body(
-            b2_packed, pa_packed, rows_sorted, pa_row_base, npa_row,
+            b2_packed, pa_packed, rows_sorted, rowmeta,
             jnp.int32(start), jnp.int32(cnt), L=L, R_pad=R_pad, W=W,
             a_dtype=a_dt, b_dtype=b_dt, accum_dtype=accum_dtype, pattern=pattern,
             b2_ws=b2_ws,
@@ -812,8 +1051,7 @@ def spgemm_slab_device(
                     plan.b2_packed,
                     plan.pa_packed,
                     plan.rows_sorted,
-                    plan.pa_row_base,
-                    plan.npa_row,
+                    plan.rowmeta,
                     jnp.int32(start),
                     jnp.int32(cnt),
                     L=L,
@@ -840,10 +1078,45 @@ def spgemm_slab_device(
     if pattern is None:
         pattern = _is_pattern(A) and _is_pattern(B)
     A_dev, B_dev = (A_dev or A), (B_dev or B)
-    npa, nsegB, cls, counts = sizing if sizing is not None else _sizing(A, B, W, classes)
+    pre = None
+    if sizing is None:
+        if isinstance(B.data, np.ndarray):
+            # the B2 build doesn't depend on the sizing pass — only on
+            # nsegB, a cheap O(nrowB) host sum.  Dispatch it FIRST (async)
+            # so its ~40 ms of device time overlaps the O(nnz) host sizing.
+            # (Moving MORE of the plan into this pre-program was tried and
+            # measured WORSE: the extra cross-program buffers cost ~30 ms,
+            # eating the overlap — see _pre_build's docstring.)
+            b_iptr = np.asarray(B.indptr, np.int64)
+            nsegB_pre = _round_up(
+                int(((b_iptr[1:] - b_iptr[:-1] + W - 1) // W).sum()), 1024
+            )
+            pre = _b2_build(
+                jnp.asarray(B_dev.indptr, jnp.int32),
+                jnp.asarray(B_dev.indices, jnp.int32),
+                jnp.asarray(B_dev.data),
+                W=W,
+                nsegB_pad=nsegB_pre,
+                pattern=pattern,
+                b2_ws=_pick_b2_ws(W, pattern, np.dtype(B_dev.data.dtype), nsegB_pre),
+            )
+        sizing = _sizing(A, B, W, classes)
+    elif not isinstance(sizing, Sizing):  # legacy 4-tuple callers
+        sizing = Sizing(*sizing)
+    npa, nsegB, cls, counts = sizing
     sched, tail_start = _chunk_schedule(classes, counts, slot_budget)
     max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
     nsegB_pad = _round_up(nsegB, 1024)
+    npa_pad = _round_up(npa, 1024)
+    if pre is not None and _round_up(nsegB, 1024) != pre.shape[0] * 128 // _pick_b2_ws(
+        W, pattern, np.dtype(B_dev.data.dtype), nsegB_pad
+    ):
+        pre = None  # defensive: host nsegB disagreed with the sizing pass
+    # NO nrow/nnz-scale host->device input: the class vector and its stable
+    # sort are recomputed on device (order=None + classes_n/remap).  Each
+    # fresh upload consumed by the program costs ~150 ms of tunnel latency —
+    # an order of magnitude more than the on-device recompute (_plan_body).
+    device_cls = sizing.rows_sorted is None  # device sizing: cls is resident
     rows_sorted, outs = _fused_exec(
         jnp.asarray(A_dev.indptr, jnp.int32),
         jnp.asarray(A_dev.indices, jnp.int32),
@@ -851,9 +1124,9 @@ def spgemm_slab_device(
         jnp.asarray(B_dev.indptr, jnp.int32),
         jnp.asarray(B_dev.indices, jnp.int32),
         jnp.asarray(B_dev.data),
-        jnp.asarray(cls),
+        jnp.asarray(cls) if device_cls else None,
         W=W,
-        npa_pad=_round_up(npa, 1024),
+        npa_pad=npa_pad,
         nsegB_pad=nsegB_pad,
         nrow=A.nrow,
         nrow_pad=A.nrow + max_chunk,
@@ -862,13 +1135,19 @@ def spgemm_slab_device(
         accum_dtype=accum_dtype,
         pattern=pattern,
         b2_ws=_pick_b2_ws(W, pattern, np.dtype(B_dev.data.dtype), nsegB_pad),
+        classes_n=None if device_cls else classes,
+        remap=None if device_cls else sizing.remap,
+        b2_packed=pre,
     )
     ntail = int(counts[len(classes)])
-    tail_rows = (
-        np.asarray(rows_sorted[tail_start : tail_start + ntail])
-        if ntail
-        else np.zeros(0, np.int32)
-    )
+    if ntail == 0:
+        tail_rows = np.zeros(0, np.int32)
+    elif sizing.rows_sorted is not None:
+        # host mirror of the device's stable class sort: tail ids read from
+        # host memory instead of a device slice round-trip
+        tail_rows = sizing.rows_sorted[tail_start : tail_start + ntail]
+    else:
+        tail_rows = np.asarray(rows_sorted[tail_start : tail_start + ntail])
     return list(outs), tail_rows, None
 
 
@@ -923,7 +1202,7 @@ def spgemm_slab(
     # (data+indices, ~8 B/slot) fits comfortably next to the chunk outputs;
     # past this, host assembly (pull each chunk, free it) has the lower peak
     _CSR_COMPACT_MAX = 1 << 26
-    if as_csr and sizing[0] * W <= _CSR_COMPACT_MAX:
+    if as_csr and sizing.npa * W <= _CSR_COMPACT_MAX:
         # fast path: compact on device, transfer only the CSR arrays
         # (~out_nnz * 8 B instead of the padded slabs)
         try:
@@ -984,7 +1263,7 @@ def _piece_exec(
     per-chunk (start, count) enter as traced scalars (``sc_tab``), exactly
     the uniform-schedule trick the SPMD path uses across shards
     (parallel/spgemm_spmd.py)."""
-    (b2p, pap, prb, npr, rows_sorted) = _plan_body(
+    (b2p, pap, rowmeta, rows_sorted) = _plan_body(
         a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, cls_s,
         W=W, npa_pad=npa_pad, nsegB_pad=nsegB_pad, nrow=nrow, nrow_pad=nrow_pad,
         nnz=nnz_sc[0], pattern=pattern, b2_ws=b2_ws,
@@ -992,7 +1271,7 @@ def _piece_exec(
     a_dt, b_dt = str(a_dat.dtype), str(b_dat.dtype)
     outs = tuple(
         _chunk_body(
-            b2p, pap, rows_sorted, prb, npr, sc_tab[0, i], sc_tab[1, i],
+            b2p, pap, rows_sorted, rowmeta, sc_tab[0, i], sc_tab[1, i],
             L=L, R_pad=R_pad, W=W, a_dtype=a_dt, b_dtype=b_dt,
             accum_dtype=accum_dtype, pattern=pattern, b2_ws=b2_ws,
         )

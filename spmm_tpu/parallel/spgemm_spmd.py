@@ -208,7 +208,7 @@ def _make_spmd_run(mesh, axis, schedule, kw, W, accum_dtype, pattern, b_sharded,
                 )
                 b_dat = jnp.take(got_dat.reshape(-1), recv_gather, mode="clip")
             b_indptr = loc_iptr
-        (b2p, pap, prb, npr, rows_sorted) = _plan_body(
+        (b2p, pap, rowmeta, rows_sorted) = _plan_body(
             indptr, ind, dat, b_indptr, b_ind, b_dat, cls_s, nnz=nnz_sc[0],
             pattern=pattern, **kw
         )
@@ -217,7 +217,7 @@ def _make_spmd_run(mesh, axis, schedule, kw, W, accum_dtype, pattern, b_sharded,
         for i, (L, R_pad) in enumerate(schedule):
             outs.append(
                 _chunk_body(
-                    b2p, pap, rows_sorted, prb, npr,
+                    b2p, pap, rows_sorted, rowmeta,
                     sc_tab[0, i], sc_tab[1, i], L=L, R_pad=R_pad, W=W,
                     a_dtype=a_dt, b_dtype=b_dt, accum_dtype=accum_dtype,
                     pattern=pattern, b2_ws=kw.get("b2_ws"),
