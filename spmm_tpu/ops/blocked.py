@@ -270,16 +270,28 @@ def blocked_chain_spmv(
     return jnp.take(y_f, jnp.asarray(P.row_inv))  # back to original order
 
 
-def blocked_spmm(P: BlockedCSR, B: jax.Array, **kw) -> jax.Array:
-    """Dispatcher for the packed-format SpMM.
+def blocked_spmm(
+    P: BlockedCSR, B: jax.Array, *, view=None, accum_dtype=jnp.float32
+) -> jax.Array:
+    """Dispatcher for the packed-format SpMM — routes to the v8-SLAB path,
+    the fastest formulation (measured on web-Google k=128, device-loop
+    fenced: slab 51.1 ms; slab with the two-stage panel gather 57.4;
+    segment-sum formulations 111-117; plain ELL 45-49).
+
+    ``view``: a :func:`blocked_slab_view` built once for repeated multiplies
+    (pack-once / multiply-many); one-shot calls build it here.
 
     A Pallas kernel staging the per-region gathered RHS panel in VMEM was
     prototyped and is NOT shippable on this toolchain: Mosaic's only gather
     primitive (``tpu.dynamic_gather``) spans a single vreg (8 sublanes) along
     the gather dimension, so random row gathers from a VMEM panel cannot be
-    expressed ("Multiple source vregs along gather dimension").  The XLA
-    formulation below is therefore the production path; for repeated
-    multiplies pass ``view=blocked_exec_view(P)``.  For raw SpMM speed use
-    the ELL kernel (ops/ell_spmm.py) — see the README primitive-rate table.
+    expressed ("Multiple source vregs along gather dimension").  The
+    two-stage panel gather (the SURVEY §3.3 blueprint) was built and measured
+    instead — see DESIGN.md §3 for why panel compaction cannot beat the
+    per-row gather charge on power-law graphs.  For raw one-shot SpMM speed
+    use the ELL kernel (ops/ell_spmm.py); this format's unique payoff is
+    :func:`blocked_chain_spmv` (the reference's seq_input A^k·x contract).
     """
-    return blocked_spmm_xla(P, B, **kw)
+    if view is None:
+        view = blocked_slab_view(P)
+    return blocked_spmm_slab(P, B, view, accum_dtype=accum_dtype)

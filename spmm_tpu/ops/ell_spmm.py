@@ -83,14 +83,23 @@ def ell_spmm(
             # zero-pad the RHS to full lane width and run the wide path: the
             # kernel is gather-bound and gathers charge per ROW, so the wide
             # fetch is free while every fold-and-pick variant pays a per-slot
-            # pass (see PICK_IMPL) — the k=32 inversion of r1 came from here
+            # pass (see PICK_IMPL) — the k=32 inversion of r1 came from here.
+            # The barrier MATERIALIZES the padded B: without it XLA fuses the
+            # concat into every slab gather (a per-row select) — measured
+            # 80.9 ms vs 49.1 with the barrier at web-Google k=32.  The
+            # un-permute gather runs on the SLICED (m, k) output, not the
+            # padded width.
             Bp = jnp.concatenate(
                 [B, jnp.zeros((B.shape[0], 128 - k), B.dtype)], axis=1
             )
-            return ell_spmm(
-                E, Bp, accum_dtype=accum_dtype, permute_back=permute_back,
+            Bp = jax.lax.optimization_barrier(Bp)
+            ys = ell_spmm(
+                E, Bp, accum_dtype=accum_dtype, permute_back=False,
                 pick_impl=pick_impl,
             )[:, :k]
+            if not permute_back:
+                return ys
+            return jnp.take(ys, jnp.asarray(E.inv_perm), axis=0)
         kp = k if 128 % k == 0 else _next_pow2(k)
         if kp != k:
             Bp = jnp.concatenate([B, jnp.zeros((B.shape[0], kp - k), B.dtype)], axis=1)
