@@ -57,7 +57,7 @@ def main():
             cs, vs = jax.lax.sort((c2, v2 + c), dimension=1, num_keys=1)
             return vs[:, 0].sum() + cs[:, 0].sum().astype(jnp.float32)
 
-        t = measure_device_loop(s, jnp.zeros(()), (c2, v2), name=f"bsort{L}", iters=3)
+        t = measure_device_loop(s, jnp.zeros(()), (c2, v2), name=f"bsort{L}", iters=33)
         bsort_best = max(bsort_best, report(f"batched minor-axis sort L={L}", t.median_ms))
 
     # --- global 1-D sort -----------------------------------------------------
@@ -69,7 +69,7 @@ def main():
         a, b, v = jax.lax.sort((k, p1, p2 + c), num_keys=1)
         return v[-1] + a[-1].astype(jnp.float32)
 
-    t = measure_device_loop(gs, jnp.zeros(()), (k, p1, p2), name="gsort", iters=3)
+    t = measure_device_loop(gs, jnp.zeros(()), (k, p1, p2), name="gsort", iters=9)
     gsort_rate = report("global 1-D sort (1 key + 2 payloads)", t.median_ms)
 
     # --- gathers by row width ------------------------------------------------
@@ -84,7 +84,7 @@ def main():
         def g(c, table, idx):
             return jnp.take(table, idx + c.astype(jnp.int32), axis=0).sum()
 
-        t = measure_device_loop(g, jnp.zeros(()), (table, idx), name=f"gW{W}", iters=3)
+        t = measure_device_loop(g, jnp.zeros(()), (table, idx), name=f"gW{W}", iters=9)
         r = report(f"row gather width={W} ({N/1e6:.1f}M rows)", t.median_ms, elems=N)
         grow_best = max(grow_best, r)
         if W == 1:
@@ -99,8 +99,33 @@ def main():
                                 indices_are_sorted=True)
         return s[0]
 
-    t = measure_device_loop(sc, jnp.zeros(()), (vals, seg), name="scatter", iters=3)
+    t = measure_device_loop(sc, jnp.zeros(()), (vals, seg), name="scatter", iters=9)
     scatter_rate = report("scatter-add (segment_sum)", t.median_ms)
+
+    # --- unique set-scatter with flags (the plan scatters' form) -------------
+    # sorted+unique claims delete XLA's dedup sort from the lowering —
+    # the fastest scatter the hardware offers, hence the bound's denominator
+    ES = E // 2
+    posu = jnp.asarray(
+        np.sort(rng.choice(E - 1, size=ES, replace=False)).astype(np.int32)
+    )
+    valu = jnp.asarray(rng.integers(-1000, 1000, ES).astype(np.int32))
+
+    def scs(c, posu, valu):
+        d = jax.lax.scatter(
+            jnp.zeros((E,), jnp.int32), posu[:, None],
+            valu + c.astype(jnp.int32),
+            jax.lax.ScatterDimensionNumbers((), (0,), (0,)),
+            indices_are_sorted=True, unique_indices=True,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
+        )
+        return d[0]
+
+    t = measure_device_loop(
+        scs, jnp.zeros((), jnp.int32), (posu, valu), name="scset", iters=9
+    )
+    set_rate = report("set-scatter sorted+unique flags", t.median_ms, elems=ES)
+    scatter_best = max(scatter_rate, set_rate)
 
     # --- take_along_axis -------------------------------------------------------
     L = 128
@@ -111,14 +136,14 @@ def main():
     def taa(c, i2, v2):
         return jnp.take_along_axis(v2 + c, i2, axis=1)[:, 0].sum()
 
-    t = measure_device_loop(taa, jnp.zeros(()), (i2, v2), name="taa", iters=3)
+    t = measure_device_loop(taa, jnp.zeros(()), (i2, v2), name="taa", iters=33)
     report("take_along_axis (row-local gather)", t.median_ms)
 
     # --- cumsum (the cheap primitive everything leans on) ----------------------
     def cs(c, v2):
         return jnp.cumsum(v2 + c, axis=1)[:, -1].sum()
 
-    t = measure_device_loop(cs, jnp.zeros(()), (v2,), name="cumsum", iters=3)
+    t = measure_device_loop(cs, jnp.zeros(()), (v2,), name="cumsum", iters=33)
     cumsum_rate = report("batched cumsum", t.median_ms)
 
     if args.json:
@@ -138,7 +163,7 @@ def main():
         out = {
             "row_gather_rows_s": grow_best,
             "scalar_gather_s": g1_rate,
-            "scatter_elems_s": scatter_rate,
+            "scatter_elems_s": scatter_best,
             "sort_batched_s": bsort_best,
             "sort_global_s": gsort_rate,
             # cumsum reads+writes 8 B/elem — the fused-elementwise byte rate

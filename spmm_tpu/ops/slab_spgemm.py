@@ -80,14 +80,18 @@ DEFAULT_CLASSES = (
     8192,
 )
 
-#: B-segment width: row-gather granule.  Gather throughput on v5e is
-#: ~40-60 M ROWS/s regardless of width, so wider segments cost the same to
-#: fetch — but on power-law graphs most B rows are SHORT, so wide segments
-#: inflate the padded slab (every pass downstream pays per slot).  Measured
-#: on web-Google A×A: W=16 → 894 ms, W=8 → 802 ms, W=4 → 665 ms (padded
-#: slots 90M/53M/36M).  4 is the shipped default; long-row-dominated B
-#: matrices can pass a wider seg_w.
-DEFAULT_SEG_W = 4
+#: B-segment width: row-gather granule.  Gather throughput on v5e charges
+#: per ROW, so wider segments cost the same to fetch — but on power-law
+#: graphs most B rows are SHORT, so wide segments inflate the padded slab
+#: (every pass downstream pays per slot).  The optimum moved as the kernel
+#: did: with the r1 pipeline W=4 won (665 vs 802 ms); after the r2 plan
+#: rework (unique set-scatter step, sort-payload rowmeta, pairsum step
+#: extraction) the npa-proportional costs dominate the slot-proportional
+#: ones, and HALVING the pa count wins despite ~35% more padded slots —
+#: measured web-Google A×A e2e: W=4 → 279 ms, W=8 → 244 ms, W=16 → 246 ms
+#: with drifting tail coverage.  W=8 also makes the picked segment exactly
+#: the 8-lane fold granule (no dead lanes in the (S, 8) pick output).
+DEFAULT_SEG_W = 8
 
 #: slab slot budget per numeric call (slots = R_pad * L).  Large on purpose:
 #: through the remote-device tunnel each dispatch costs ~50 ms + a fence
@@ -113,6 +117,14 @@ def _round_up(x: int, m: int) -> int:
     return ((max(x, 1) + m - 1) // m) * m
 
 
+def _nseg_pad(nsegB: int) -> int:
+    """Padded B2 segment count, guaranteeing >= 1 never-written pad segment:
+    the LAST segment is the all-_INT_MAX sentinel that masked chunk blocks
+    and non-live pa entries gather (their columns then read as pad and need
+    no downstream select)."""
+    return _round_up(nsegB + 1, 1024)
+
+
 def _shift_right(x):
     return jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
 
@@ -135,6 +147,31 @@ def _fold_ws(w: int) -> int:
         f"folded segment width {w} exceeds one 128-lane row: with value "
         "channels the limit is seg_w <= 128 // (1 + value_words) "
         "(64 for fp32, 42 for fp64); pattern mode allows seg_w up to 128"
+    )
+
+
+def _scatter1d_set(operand, idx, val, *, sorted_: bool, unique: bool):
+    """1-D SET scatter with explicit sortedness/uniqueness claims.
+
+    Measured on v5e (benchmarks/micro_scatter.py shapes, 5.12M writes into
+    8.4M): plain ``.at[].set`` 131 M/s, ``unique_indices=True`` 148 M/s,
+    ``indices_are_sorted=True, unique_indices=True`` 191 M/s — vs the
+    add-scatter's 96 M/s.  XLA's generic lowering sorts the updates to
+    resolve duplicates; the flags delete that sort.  Out-of-range indices
+    drop (FILL_OR_DROP) — callers route dead/pad writes to DISTINCT
+    out-of-range slots so the uniqueness claim stays true."""
+    return jax.lax.scatter(
+        operand,
+        idx[:, None],
+        val,
+        jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(),
+            inserted_window_dims=(0,),
+            scatter_dims_to_operand_dims=(0,),
+        ),
+        indices_are_sorted=sorted_,
+        unique_indices=unique,
+        mode=jax.lax.GatherScatterMode.FILL_OR_DROP,
     )
 
 
@@ -260,25 +297,43 @@ def _b2_build_body(
     posb = jnp.arange(nnzB_pad, dtype=jnp.int32)
     c_row = bseg_off[:-1] * W - b_indptr[:-1]  # (nrowB,) pad offset per row
     c_prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), c_row[:-1]])
-    dd = jnp.zeros((nnzB_pad + 1,), jnp.int32).at[b_indptr[:-1]].add(
-        c_row - c_prev, mode="drop"
+    # rows sharing a start position (a run of empty rows + the next row) have
+    # delta EXACTLY 0 except the run's leader (empty rows advance neither
+    # bseg_off nor b_indptr, so c_row is constant across them): route the
+    # zero-delta non-leaders to distinct dropped slots and the scatter's
+    # indices become genuinely unique — the set form then applies
+    iptr0 = b_indptr[:-1]
+    iprev = jnp.concatenate([jnp.full((1,), -1, iptr0.dtype), iptr0[:-1]])
+    leader = iptr0 != iprev
+    rpos = jnp.arange(iptr0.shape[0], dtype=iptr0.dtype)
+    dd = _scatter1d_set(
+        jnp.zeros((nnzB_pad + 1,), jnp.int32),
+        jnp.where(leader, iptr0, iptr0.dtype.type(nnzB_pad + 1) + rpos),
+        c_row - c_prev,
+        sorted_=False, unique=True,
     )
     dest = posb + jnp.cumsum(dd)[:nnzB_pad]
-    dest = jnp.where(posb < b_indptr[-1], dest, nsegB_pad * W)  # drop padding
+    # pad entries route to DISTINCT out-of-range slots (dropped): live dest
+    # is strictly increasing and unique, so the scatter can claim
+    # sorted+unique — 191 M/s vs the generic set's 131 (micro_scatter.py)
+    dest = jnp.where(posb < b_indptr[-1], dest, nsegB_pad * W + posb)
     nvb = 0 if pattern else np.dtype(b_dat.dtype).itemsize // 4
     ws_b = b2_ws or _fold_ws(W if pattern else (1 + nvb) * W)
     seg = dest // W
     w_in = dest - seg * W
-    flat = jnp.full((nsegB_pad * ws_b,), _INT_MAX, jnp.int32).at[
-        seg * ws_b + w_in
-    ].set(b_ind, mode="drop")
+    flat = _scatter1d_set(
+        jnp.full((nsegB_pad * ws_b,), _INT_MAX, jnp.int32),
+        seg * ws_b + w_in, b_ind, sorted_=True, unique=True,
+    )
     if not pattern:
         bits_b = jax.lax.bitcast_convert_type(b_dat, jnp.int32)
         if bits_b.ndim == 1:
             bits_b = bits_b[:, None]
         for i in range(nvb):
-            flat = flat.at[seg * ws_b + W + w_in * nvb + i].set(
-                bits_b[:, i], mode="drop"
+            # idx increases with dest (ws_b >= (1+nvb)*W), stays unique
+            flat = _scatter1d_set(
+                flat, seg * ws_b + W + w_in * nvb + i, bits_b[:, i],
+                sorted_=True, unique=True,
             )
     return flat.reshape(-1, 128)
 
@@ -412,13 +467,40 @@ def _plan_body(
             return jnp.cumsum(d)[:npa_pad]
 
     else:
+        # UNIQUE-index SET-scatter step function, no host patch needed (2x
+        # the add-scatter's rate, micro_scatter.py).  The step array is
+        # interleaved 2x: live entry q writes its delta (chan[q] - chan[q-1])
+        # at EVEN slot 2*seg_off[q]; the missing correction for each dead run
+        # (-chan[last live], available as ``prev`` at the run's FIRST dead
+        # entry via the shift) goes to ODD slot 2*seg_off[t0] + 1 — the dead
+        # entries of a run share the NEXT live's seg_off, so the pairwise sum
+        # d2[2i] + d2[2i+1] folds the correction into exactly the slot where
+        # it must take effect.  Remaining dead/pad entries route to DISTINCT
+        # out-of-range slots (dropped), so every index is genuinely unique.
+        # The pairsum runs as a lane-strided add on the (X, 128) view —
+        # 1.1 ms at web-Google scale, vs 76 ms for a stride-2 slice of the
+        # cumsum (XLA lowers that as a gather) and 15 ms for a stride-2
+        # reduce_window.
+        prev_live = jnp.concatenate([jnp.zeros((1,), jnp.bool_), live_a[:-1]])
+        run_start = (~live_a) & prev_live
+        seg0 = seg_off[:-1]
+        n2 = 2 * npa_pad  # divisible by 128 (npa_pad rounds to 1024)
+        idx2 = jnp.where(
+            live_a, 2 * seg0, jnp.where(run_start, 2 * seg0 + 1, n2 + pos)
+        )
 
-        def step_fn(chan):  # 1-D scatters: XLA handles them ~5x faster than a
-            prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), chan[:-1]])  # wide payload
-            d = jnp.zeros((npa_pad + 1,), jnp.int32).at[seg_off[:-1]].add(
-                chan - prev, mode="drop"
+        def step_fn(chan):
+            prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), chan[:-1]])
+            val = jnp.where(
+                live_a, chan - prev, jnp.where(run_start, -prev, 0)
             )
-            return jnp.cumsum(d)[:npa_pad]
+            d2 = _scatter1d_set(
+                jnp.zeros((n2,), jnp.int32), idx2, val,
+                sorted_=False, unique=True,
+            )
+            r = d2.reshape(-1, 128)
+            pair = r[:, ::2] + r[:, 1::2]
+            return jnp.cumsum(pair.reshape(-1))
 
     pa_b2row = jnp.where(pa_live, step_fn(c_a) + pa_idx, nsegB_pad - 1)
     if pattern:
@@ -438,7 +520,9 @@ def _plan_body(
         )
 
     # ONE (nrow+1,) gather of the row bounds; base and count derive by shift
-    bounds = jnp.take(seg_off, a_indptr)
+    # (int32 pinned: under enable_x64 the cumsum behind seg_off promotes,
+    # and the rowmeta consumer slices a fixed-int32 (nrow_pad, 2) array)
+    bounds = jnp.take(seg_off, a_indptr).astype(jnp.int32)
     pa_row_base = bounds[:-1]
     npa_row = bounds[1:] - bounds[:-1]
 
@@ -457,14 +541,25 @@ def _plan_body(
 
     if presorted:
         rows_sorted = order  # host counting-argsort, already nrow_pad long
+        # pre-permute (base, count) into class order: ONE nrow_pad row gather
+        # replaces two scalar gathers per chunk row downstream
+        meta = jnp.stack([pa_row_base, npa_row], axis=1)
+        rowmeta = jnp.take(meta, rows_sorted, axis=0)
     else:
+        # (base, count) ride the class sort as extra payload operands — the
+        # random (nrow_pad, 2) re-gather this replaces cost 22 ms at
+        # web-Google scale (the stacked 2-wide table tile-pads to 128 lanes,
+        # so the gather engine drags 512 B per row); two more sort operands
+        # cost ~1 ms
         rows = jnp.arange(nrow, dtype=jnp.int32)
-        _, rs = jax.lax.sort((order, rows), num_keys=1, is_stable=True)
+        _, rs, base_s, cnt_s = jax.lax.sort(
+            (order, rows, pa_row_base, npa_row), num_keys=1, is_stable=True
+        )
         rows_sorted = jnp.concatenate([rs, jnp.zeros((nrow_pad - nrow,), jnp.int32)])
-    # pre-permute (base, count) into class order: ONE nrow_pad row gather here
-    # replaces two scalar gathers per chunk row downstream
-    meta = jnp.stack([pa_row_base, npa_row], axis=1)
-    rowmeta = jnp.take(meta, rows_sorted, axis=0)
+        pad2 = jnp.zeros((nrow_pad - nrow, 2), jnp.int32)
+        rowmeta = jnp.concatenate(
+            [jnp.stack([base_s, cnt_s], axis=1), pad2], axis=0
+        )
     return b2_packed, pa_packed, rowmeta, rows_sorted
 
 
@@ -701,7 +796,7 @@ def spgemm_plan(
     max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
     nrow_pad = A.nrow + max_chunk
     npa_pad = _round_up(npa, 1024)
-    nsegB_pad = _round_up(nsegB, 1024)
+    nsegB_pad = _nseg_pad(nsegB)
     b2_ws = _pick_b2_ws(W, pattern, np.dtype(B_dev.data.dtype), nsegB_pad)
     order, presorted, patch = _plan_order_args(sizing, nrow_pad, npa_pad, pattern)
     (b2_packed, pa_packed, rowmeta, rows_sorted) = _plan_device(
@@ -777,7 +872,9 @@ def _chunk_body(
     r = jax.lax.dynamic_slice(rows_sorted, (start,), (R_pad,))
     # (base, count) pre-permuted into class order by the plan: contiguous
     # slices here, no per-row gathers
-    mm = jax.lax.dynamic_slice(rowmeta, (start, 0), (R_pad, 2))
+    mm = jax.lax.dynamic_slice(
+        rowmeta, (start, jnp.zeros((), start.dtype)), (R_pad, 2)
+    )
     base = jnp.where(in_chunk, mm[:, 0], 0)
     nb = jnp.where(in_chunk, mm[:, 1], 0)
 
@@ -791,7 +888,13 @@ def _chunk_body(
     # each row's pa indices are consecutive: windowed fetch, not per-pa gather
     base = jnp.clip(base, 0, npa_pad - 1)
     b2r = _extract_window(pa_packed[0].reshape(-1, 128), base, nblk).reshape(-1)
-    b2r = jnp.clip(b2r, 0, b2_packed.shape[0] * Gb - 1)  # window overrun rows
+    # blocks belonging to other rows / padding route to the LAST segment,
+    # which lies in the table's never-written pad region (nsegB < nsegB_pad)
+    # and is therefore all-_INT_MAX: the gather itself masks them, deleting
+    # a (slots, W)-wide select downstream (the clip also covers window
+    # overrun rows)
+    last_seg = b2_packed.shape[0] * Gb - 1
+    b2r = jnp.where(bm.reshape(-1), jnp.clip(b2r, 0, last_seg), last_seg)
     if Gb == 1:  # widened table: one segment per 128-lane row, no pick
         g = jnp.take(b2_packed, b2r, axis=0)
     else:
@@ -803,8 +906,7 @@ def _chunk_body(
         # recovered from POSITIONS after the sorts (a run of c equal columns
         # contributes value c), halving the payload of both batched sorts
         # and deleting the cumsum
-        valid = bm.reshape(-1)[:, None] & (col != _INT_MAX)
-        col = jnp.where(valid, col, _INT_MAX).reshape(R_pad, L)
+        col = col.reshape(R_pad, L)
         (col_s,) = jax.lax.sort((col,), dimension=1, num_keys=1)
         p = jax.lax.broadcasted_iota(jnp.int32, (R_pad, L), 1)
         firsts = (p == 0) | (col_s != _shift_right(col_s))
@@ -1088,8 +1190,8 @@ def spgemm_slab_device(
             # measured WORSE: the extra cross-program buffers cost ~30 ms,
             # eating the overlap — see _pre_build's docstring.)
             b_iptr = np.asarray(B.indptr, np.int64)
-            nsegB_pre = _round_up(
-                int(((b_iptr[1:] - b_iptr[:-1] + W - 1) // W).sum()), 1024
+            nsegB_pre = _nseg_pad(
+                int(((b_iptr[1:] - b_iptr[:-1] + W - 1) // W).sum())
             )
             pre = _b2_build(
                 jnp.asarray(B_dev.indptr, jnp.int32),
@@ -1106,9 +1208,9 @@ def spgemm_slab_device(
     npa, nsegB, cls, counts = sizing
     sched, tail_start = _chunk_schedule(classes, counts, slot_budget)
     max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
-    nsegB_pad = _round_up(nsegB, 1024)
+    nsegB_pad = _nseg_pad(nsegB)
     npa_pad = _round_up(npa, 1024)
-    if pre is not None and _round_up(nsegB, 1024) != pre.shape[0] * 128 // _pick_b2_ws(
+    if pre is not None and _nseg_pad(nsegB) != pre.shape[0] * 128 // _pick_b2_ws(
         W, pattern, np.dtype(B_dev.data.dtype), nsegB_pad
     ):
         pre = None  # defensive: host nsegB disagreed with the sizing pass
@@ -1339,7 +1441,7 @@ def spgemm_slab_big(
     nsegB = int(((lenB + W - 1) // W).sum())
     max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
     rows_pad = S.rows_per_shard
-    nsegB_pad = _round_up(nsegB, 1024)
+    nsegB_pad = _nseg_pad(nsegB)
     kw = dict(
         W=W,
         npa_pad=_round_up(npa_max, 1024),

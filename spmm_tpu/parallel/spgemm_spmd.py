@@ -47,6 +47,7 @@ from spmm_tpu.ops.slab_spgemm import (
     DEFAULT_SLOT_BUDGET,
     _bucket_pow2,
     _chunk_body,
+    _nseg_pad,
     _pick_b2_ws,
     _plan_body,
     _round_up,
@@ -343,10 +344,10 @@ def spgemm_dist_spmd(
     kw = dict(
         W=W,
         npa_pad=_round_up(npa_max, 1024),
-        nsegB_pad=_round_up(nsegB, 1024),
+        nsegB_pad=_nseg_pad(nsegB),
         nrow=rows_pad,
         nrow_pad=rows_pad + max_chunk,
-        b2_ws=_pick_b2_ws(W, pattern, np.dtype(B.data.dtype), _round_up(nsegB, 1024)),
+        b2_ws=_pick_b2_ws(W, pattern, np.dtype(B.data.dtype), _nseg_pad(nsegB)),
     )
     schedule = tuple(sched)
     run = _make_spmd_run(mesh, axis, schedule, kw, W, accum_dtype, pattern,
@@ -432,10 +433,10 @@ def spgemm_dist_csr(
     kw = dict(
         W=W,
         npa_pad=_round_up(npa_max, 1024),
-        nsegB_pad=_round_up(nsegB, 1024),
+        nsegB_pad=_nseg_pad(nsegB),
         nrow=rows_pad,
         nrow_pad=rows_pad + max_chunk,
-        b2_ws=_pick_b2_ws(W, pattern, np.dtype(B.data.dtype), _round_up(nsegB, 1024)),
+        b2_ws=_pick_b2_ws(W, pattern, np.dtype(B.data.dtype), _nseg_pad(nsegB)),
     )
     nnz_pad = _round_up(npa_max * W, 1024)
     run = _make_spmd_run(mesh, axis, tuple(sched), kw, W, accum_dtype, pattern,
@@ -577,10 +578,10 @@ def spgemm_dist_halo(
     kw = dict(
         W=W,
         npa_pad=_round_up(npa_max, 1024),
-        nsegB_pad=_round_up(nsegB, 1024),
+        nsegB_pad=_nseg_pad(nsegB),
         nrow=rows_pad,
         nrow_pad=rows_pad + max_chunk,
-        b2_ws=_pick_b2_ws(W, pattern, np.dtype(B.data.dtype), _round_up(nsegB, 1024)),
+        b2_ws=_pick_b2_ws(W, pattern, np.dtype(B.data.dtype), _nseg_pad(nsegB)),
     )
     schedule = tuple(sched)
     run = _make_spmd_run(mesh, axis, schedule, kw, W, accum_dtype, pattern,
@@ -738,10 +739,10 @@ def spgemm_dist_halo_exchange(
     kw = dict(
         W=W,
         npa_pad=_round_up(npa_max, 1024),
-        nsegB_pad=_round_up(nsegB, 1024),
+        nsegB_pad=_nseg_pad(nsegB),
         nrow=rows_pad,
         nrow_pad=rows_pad + max_chunk,
-        b2_ws=_pick_b2_ws(W, pattern, np.dtype(B.data.dtype), _round_up(nsegB, 1024)),
+        b2_ws=_pick_b2_ws(W, pattern, np.dtype(B.data.dtype), _nseg_pad(nsegB)),
     )
     run = _make_spmd_run(
         mesh, axis, tuple(sched), kw, W, accum_dtype, pattern,
