@@ -51,7 +51,11 @@ def main():
     ap.add_argument("--n", type=int, default=120_000)
     ap.add_argument("--nnz", type=int, default=720_000)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--budget", type=float, default=330.0,
+                    help="soft wall-time budget (s): remaining device counts "
+                    "are skipped once exceeded, partial curve still printed")
     args = ap.parse_args()
+    t_start = time.monotonic()
 
     # coarse classes: the production ~1.25x grid inlines ~30 chunk bodies per
     # SPMD program — minutes of XLA CPU compile on this 1-core host for a
@@ -71,6 +75,9 @@ def main():
     ref_nnz = None
     t1 = None
     for nd in (1, 2, 4, 8):
+        if time.monotonic() - t_start > args.budget:
+            out["scaling_truncated_at"] = nd
+            break
         mesh = make_mesh(nd)
         S = partition_rows(A, nd)
         C = spgemm_dist_spmd(S, A, mesh, classes=CLASSES)  # warm/compile

@@ -91,19 +91,22 @@ def measure_device_loop(
     Pass every large device array via ``consts`` (jit arguments), NOT closure
     capture — captured arrays are embedded as constants in the program and
     blow up the remote-compile request (HTTP 413 on axon).
+
+    The trip count is a TRACED argument so n=1 and n=iters share ONE compiled
+    program (fori_loop with a dynamic bound lowers to while_loop) — remote
+    compiles cost 5-100 s each on a cold cache, and this halves them.
     """
     import jax
+    import jax.numpy as jnp
 
-    def loop(n):
-        @jax.jit
-        def run(c, *ks):
-            return jax.lax.fori_loop(0, n, lambda i, cc: step(cc, *ks), c)
+    @jax.jit
+    def run_(n, c, *ks):
+        return jax.lax.fori_loop(0, n, lambda i, cc: step(cc, *ks), c)
 
-        return run
-
-    run1_, runN_ = loop(1), loop(iters)
-    run1 = lambda c: run1_(c, *consts)
-    runN = lambda c: runN_(c, *consts)
+    n1 = jnp.int32(1)
+    nN = jnp.int32(iters)
+    run1 = lambda c: run_(n1, c, *consts)
+    runN = lambda c: run_(nN, c, *consts)
     t0 = time.perf_counter()
     _ready(run1(init))
     _ready(runN(init))
