@@ -9,7 +9,11 @@ worst offender.  Usage: python benchmarks/profile_spgemm.py [--n N] [--nnz NNZ]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

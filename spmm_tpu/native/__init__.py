@@ -56,6 +56,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.panel_sort.argtypes = [PLL, LL, PLL, LL, LL, LL, PLL, U8, PLL, PLL, PLL]
         lib.counting_argsort.restype = None
         lib.counting_argsort.argtypes = [PLL, LL, LL, PLL]
+        lib.counting_argsort_i32.restype = None
+        lib.counting_argsort_i32.argtypes = [I32, LL, LL, I32]
         lib.spgemm_sizing.restype = LL
         lib.spgemm_sizing.argtypes = [PLL, I32, LL, PLL, LL, LL, PLL, LL, I32, PLL]
         lib.spgemm_sizing_patch.restype = LL
@@ -289,6 +291,18 @@ def spgemm_sizing_patch(a_indptr, a_ind, b_indptr, seg_w: int, classes):
     )
     k = int(npatch[0])
     return int(npa), int(nsegB[0]), cls, patch_pos[:k], patch_val[:k]
+
+
+def counting_argsort_i32(keys: np.ndarray, nkeys: int):
+    """Native stable counting argsort of int32 keys in [0, nkeys) with int32
+    output (no widening copies) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int32)
+    perm = np.empty(len(keys), dtype=np.int32)
+    lib.counting_argsort_i32(_i32p(keys), len(keys), nkeys, _i32p(perm))
+    return perm
 
 
 def counting_argsort(keys: np.ndarray, nkeys: int):

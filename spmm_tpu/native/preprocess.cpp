@@ -477,31 +477,36 @@ long long spgemm_sizing_patch(const long long* a_indptr, const int* a_ind,
                               int* cls_out, long long* nsegB_out,
                               int* patch_pos, int* patch_val,
                               long long* npatch_out) {
-  uint16_t* nseg16 = new uint16_t[nrowB];
+  // uint8 table: web-scale graphs have median row lengths << 255*W, so the
+  // per-nonzero random access touches a 1 B/row, L2-resident table (uint16
+  // was 2 B/row; measured ~1.2x end to end on the 916K-row web-Google
+  // synthetic).  Rare rows with >= 255 segments take the exact-indptr
+  // fallback.
+  uint8_t* nseg8 = new uint8_t[nrowB];
   long long* bseg_off = new long long[nrowB];
   long long nsegB = 0;
   for (long long j = 0; j < nrowB; ++j) {
     long long s = (b_indptr[j + 1] - b_indptr[j] + W - 1) / W;
     bseg_off[j] = nsegB;
     nsegB += s;
-    nseg16[j] = s < 65535 ? (uint16_t)s : (uint16_t)65535;
+    nseg8[j] = s < 255 ? (uint8_t)s : (uint8_t)255;
   }
   *nsegB_out = nsegB;
   long long npa = 0;   // running pa counter == seg_off of the next nonzero
   // last live nonzero's (column, pa-before) — its chan value
   // bseg_off[j_live] - pa_live is computed LAZILY, only at a live->dead
-  // edge (~dead-run count), so the hot loop touches just the 2 B/row
-  // nseg16 table like the patchless pass (bseg_off per nonzero was a
+  // edge (~dead-run count), so the hot loop touches just the 1 B/row
+  // nseg8 table like the patchless pass (bseg_off per nonzero was a
   // second, 8 B random access and cost ~30% end to end)
   long long j_live = -1, pa_live = 0;
   long long k = 0;
   for (long long r = 0; r < nrowA; ++r) {
     long long row_pa0 = npa;
     for (long long p = a_indptr[r]; p < a_indptr[r + 1]; ++p) {
-      __builtin_prefetch(&nseg16[a_ind[p + 32 < a_indptr[nrowA] ? p + 32 : p]]);
+      __builtin_prefetch(&nseg8[a_ind[p + 32 < a_indptr[nrowA] ? p + 32 : p]]);
       long long j = a_ind[p];
-      long long s = nseg16[j];
-      if (s == 65535) s = (b_indptr[j + 1] - b_indptr[j] + W - 1) / W;
+      long long s = nseg8[j];
+      if (s == 255) s = (b_indptr[j + 1] - b_indptr[j] + W - 1) / W;
       if (s > 0) {
         j_live = j;
         pa_live = npa;
@@ -526,7 +531,7 @@ long long spgemm_sizing_patch(const long long* a_indptr, const int* a_ind,
     }
   }
   *npatch_out = k;
-  delete[] nseg16;
+  delete[] nseg8;
   delete[] bseg_off;
   return npa;
 }
@@ -540,6 +545,17 @@ void counting_argsort(const long long* keys, long long n, long long nkeys,
   for (long long i = 0; i < n; ++i) ++cnt[keys[i] + 1];
   for (long long k = 1; k <= nkeys; ++k) cnt[k] += cnt[k - 1];
   for (long long i = 0; i < n; ++i) perm_out[cnt[keys[i]]++] = i;
+  delete[] cnt;
+}
+
+// int32-keys / int32-perm variant (skips the int64 astype copy the generic
+// entry forces on int32 class vectors — ~5 ms at 916K rows).
+void counting_argsort_i32(const int* keys, long long n, long long nkeys,
+                          int* perm_out) {
+  long long* cnt = new long long[nkeys + 1]();
+  for (long long i = 0; i < n; ++i) ++cnt[keys[i] + 1];
+  for (long long k = 1; k <= nkeys; ++k) cnt[k] += cnt[k - 1];
+  for (long long i = 0; i < n; ++i) perm_out[cnt[keys[i]]++] = (int)i;
   delete[] cnt;
 }
 

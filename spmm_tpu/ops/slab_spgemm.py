@@ -723,8 +723,7 @@ def _sizing(A: CSR, B: CSR, W: int, classes) -> Sizing:
     try:
         from spmm_tpu import native
 
-        rs = native.counting_argsort(cls.astype(np.int64), len(classes) + 2)
-        rows_sorted = None if rs is None else rs.astype(np.int32)
+        rows_sorted = native.counting_argsort_i32(cls, len(classes) + 2)
     except Exception:
         rows_sorted = None
     if rows_sorted is None:
@@ -957,6 +956,34 @@ def _chunk_body(
     return r, cols_u, vals_u, nuniq
 
 
+def _fused_numeric_body(
+    b2_packed, pa_packed, rows_sorted, rowmeta,
+    *, schedule, W, a_dtype, b_dtype, accum_dtype, pattern, b2_ws,
+):
+    """Every class chunk of a prebuilt plan in ONE compiled program — the
+    numeric phase of the two-phase (symbolic/numeric) SpGEMM API.  Re-running
+    a plan skips the host sizing pass AND the plan's B2/pa scatter passes:
+    only the windowed fetches, batched sorts, and merges execute (~half the
+    cold device time at web-Google scale)."""
+    return tuple(
+        _chunk_body(
+            b2_packed, pa_packed, rows_sorted, rowmeta,
+            jnp.int32(start), jnp.int32(cnt), L=L, R_pad=R_pad, W=W,
+            a_dtype=a_dtype, b_dtype=b_dtype, accum_dtype=accum_dtype,
+            pattern=pattern, b2_ws=b2_ws,
+        )
+        for (L, R_pad, start, cnt) in schedule
+    )
+
+
+_fused_numeric = jax.jit(
+    _fused_numeric_body,
+    static_argnames=(
+        "schedule", "W", "a_dtype", "b_dtype", "accum_dtype", "pattern", "b2_ws",
+    ),
+)
+
+
 # jitted single-phase entry points (tests / incremental use)
 _plan_device = jax.jit(
     _plan_body,
@@ -1146,26 +1173,23 @@ def spgemm_slab_device(
         sched, tail_start = _chunk_schedule(
             plan.classes, plan.class_counts, plan.slot_budget
         )
-        outs = []
-        for L, R_pad, start, cnt in sched:
-            outs.append(
-                _numeric_chunk(
-                    plan.b2_packed,
-                    plan.pa_packed,
-                    plan.rows_sorted,
-                    plan.rowmeta,
-                    jnp.int32(start),
-                    jnp.int32(cnt),
-                    L=L,
-                    R_pad=R_pad,
-                    W=plan.seg_w,
-                    a_dtype=plan.a_dtype,
-                    b_dtype=plan.b_dtype,
-                    accum_dtype=accum_dtype,
-                    pattern=plan.pattern,
-                    b2_ws=plan.b2_ws,
-                )
+        # one compiled program for ALL chunks (single dispatch on the
+        # remote tunnel) — the numeric phase of the two-phase API
+        outs = list(
+            _fused_numeric(
+                plan.b2_packed,
+                plan.pa_packed,
+                plan.rows_sorted,
+                plan.rowmeta,
+                schedule=tuple(sched),
+                W=plan.seg_w,
+                a_dtype=plan.a_dtype,
+                b_dtype=plan.b_dtype,
+                accum_dtype=accum_dtype,
+                pattern=plan.pattern,
+                b2_ws=plan.b2_ws,
             )
+        )
         ntail = int(plan.class_counts[len(plan.classes)])
         tail_rows = (
             np.asarray(plan.rows_sorted[tail_start : tail_start + ntail])
