@@ -280,7 +280,34 @@ def bench_spgemm(A, chip):
         np.asarray(outs[-1][3][:1])  # one program: one fence
         return outs
 
-    outs = run()  # warm/compile
+    # warm/compile the cold fused program and the plan program CONCURRENTLY:
+    # compiles run on the remote compile service (not the chip), cost
+    # 100-550 s each on a cold cache, and overlap fully across threads
+    from spmm_tpu.ops.slab_spgemm import spgemm_plan
+
+    plan = None
+    want_warm = gate("spgemm_warm", 240)  # 2 extra cold-cache compiles
+
+    def build_and_warm_plan():
+        p = spgemm_plan(A, A, A_dev=Ad, B_dev=Ad)
+        o, _, _ = spgemm_slab_device(A, A, plan=p)  # compiles _fused_numeric
+        np.asarray(o[-1][3][:1])
+        return p
+
+    if want_warm:
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(2) as ex:
+            fut_cold = ex.submit(run)
+            fut_plan = ex.submit(build_and_warm_plan)
+            outs = fut_cold.result()
+            try:
+                plan = fut_plan.result()
+            except Exception as e:
+                log("spgemm plan build failed:", repr(e))
+                extras["spgemm_warm_error"] = repr(e)[:200]
+    else:
+        outs = run()  # warm/compile
     times = []
     for _ in range(5):
         t0 = _time.perf_counter()
@@ -310,31 +337,34 @@ def bench_spgemm(A, chip):
     # re-execute only the numeric chunks — the reference's whole premise is
     # preprocess-once / multiply-many (SURVEY.md §0), and this is the SpGEMM
     # analog (cuSPARSE-style reuse: same structure, repeated products)
-    if gate("spgemm_warm", 90):
-        from spmm_tpu.ops.slab_spgemm import spgemm_plan
-
-        t0 = _time.perf_counter()
-        plan = spgemm_plan(A, A, A_dev=Ad, B_dev=Ad)
-        np.asarray(plan.rows_sorted[:1])
-        extras["spgemm_plan_ms"] = round((_time.perf_counter() - t0) * 1e3, 1)
-
-        def run_warm():
-            outs, _, _ = spgemm_slab_device(A, A, plan=plan)
-            np.asarray(outs[-1][3][:1])
-            return outs
-
-        outs_w = run_warm()  # warm/compile
-        wnnz = int(sum(int(np.asarray(o[3]).sum()) for o in outs_w))
-        assert wnnz == out_nnz, (wnnz, out_nnz)
-        times = []
-        for _ in range(5):
+    if plan is not None and gate("spgemm_warm_run", 150):
+        try:
+            # steady-state plan-build time (program compiled above)
             t0 = _time.perf_counter()
-            run_warm()
-            times.append((_time.perf_counter() - t0) * 1e3)
-        wms = min(times)
-        log(f"spgemm_warm (plan reuse): {wms:.1f} ms")
-        extras["spgemm_warm_ms"] = round(wms, 1)
-        extras["spgemm_warm_mnnz_out_per_s"] = round(out_nnz / (wms * 1e-3) / 1e6, 1)
+            plan = spgemm_plan(A, A, A_dev=Ad, B_dev=Ad)
+            np.asarray(plan.rows_sorted[:1])
+            extras["spgemm_plan_ms"] = round((_time.perf_counter() - t0) * 1e3, 1)
+
+            def run_warm():
+                outs, _, _ = spgemm_slab_device(A, A, plan=plan)
+                np.asarray(outs[-1][3][:1])
+                return outs
+
+            outs_w = run_warm()  # compiled in the warmup thread above
+            wnnz = int(sum(int(np.asarray(o[3]).sum()) for o in outs_w))
+            assert wnnz == out_nnz, (wnnz, out_nnz)
+            times = []
+            for _ in range(5):
+                t0 = _time.perf_counter()
+                run_warm()
+                times.append((_time.perf_counter() - t0) * 1e3)
+            wms = min(times)
+            log(f"spgemm_warm (plan reuse): {wms:.1f} ms")
+            extras["spgemm_warm_ms"] = round(wms, 1)
+            extras["spgemm_warm_mnnz_out_per_s"] = round(out_nnz / (wms * 1e-3) / 1e6, 1)
+        except Exception as e:  # keep the cold extras on warm-path failure
+            log("spgemm warm bench failed:", repr(e))
+            extras["spgemm_warm_error"] = repr(e)[:200]
 
     # projected N=8 scaling-efficiency cap: SPMD SpGEMM (config 5) has no
     # inter-shard communication, so efficiency = mean/max per-shard expansion
