@@ -779,10 +779,19 @@ def spgemm_plan(
     A_dev: CSR | None = None,
     B_dev: CSR | None = None,
     pattern: bool | None = None,
+    upload_order: bool = False,
 ) -> SpgemmPlan:
     """Build the expansion layout.  Host side is O(nnz+nrow) (sizing + class
     counts, native C++ when available); all O(E) work stays on device.
-    ``pattern=None`` auto-detects all-ones values (value channels omitted)."""
+    ``pattern=None`` auto-detects all-ones values (value channels omitted).
+
+    ``upload_order=False`` (default) recomputes the class vector and its
+    stable sort ON DEVICE (order=None + classes_n/remap, same as the fused
+    path): each freshly uploaded nrow/nnz-scale host array consumed by the
+    plan program costs ~150 ms of tunnel latency — measured 765 ms vs
+    ~210 ms for the whole plan build at web-Google scale.  ``True`` ships
+    the host sizing's precomputed permutation + dead-run patch instead
+    (worthwhile only on locally-attached devices)."""
     W = seg_w
     # padded expansions are multiples of W, so class bounds must be too
     classes = tuple(sorted({_round_up(c, W) for c in classes}))
@@ -797,7 +806,13 @@ def spgemm_plan(
     npa_pad = _round_up(npa, 1024)
     nsegB_pad = _nseg_pad(nsegB)
     b2_ws = _pick_b2_ws(W, pattern, np.dtype(B_dev.data.dtype), nsegB_pad)
-    order, presorted, patch = _plan_order_args(sizing, nrow_pad, npa_pad, pattern)
+    device_cls = sizing.rows_sorted is None  # device sizing: cls is resident
+    if upload_order or device_cls:
+        order, presorted, patch = _plan_order_args(sizing, nrow_pad, npa_pad, pattern)
+        classes_n = remap = None
+    else:
+        order, presorted, patch = None, False, None
+        classes_n, remap = classes, sizing.remap
     (b2_packed, pa_packed, rowmeta, rows_sorted) = _plan_device(
         jnp.asarray(A_dev.indptr, jnp.int32),
         jnp.asarray(A_dev.indices, jnp.int32),
@@ -816,6 +831,8 @@ def spgemm_plan(
         b2_ws=b2_ws,
         presorted=presorted,
         patch=patch,
+        classes_n=classes_n,
+        remap=remap,
     )
     return SpgemmPlan(
         b2_packed=b2_packed,
