@@ -270,6 +270,17 @@ class SpgemmPlan:
     pattern: bool = dataclasses.field(metadata=dict(static=True), default=False)
     #: B2 per-segment stride the plan was built with (chunks must match)
     b2_ws: int | None = dataclasses.field(metadata=dict(static=True), default=None)
+    #: class-aligned pre-expanded partials (one FLAT (R_pad*L,) block per
+    #: schedule entry; 1-D linear storage so TPU tiling never pads it): the
+    #: numeric phase then runs ZERO gathers — just reshape, sort, merge.
+    #: Empty tuple = not prebuilt (fetch runs inside the chunks).
+    aligned_cols: tuple = ()
+    #: value-mode companion blocks (empty in pattern mode or when not built)
+    aligned_vals: tuple = ()
+    #: accum dtype the aligned value blocks were materialized in
+    aligned_accum: str | None = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
 
 
 def _b2_build_body(
@@ -780,6 +791,8 @@ def spgemm_plan(
     B_dev: CSR | None = None,
     pattern: bool | None = None,
     upload_order: bool = False,
+    expand: bool = True,
+    accum_dtype=jnp.float32,
 ) -> SpgemmPlan:
     """Build the expansion layout.  Host side is O(nnz+nrow) (sizing + class
     counts, native C++ when available); all O(E) work stays on device.
@@ -791,7 +804,13 @@ def spgemm_plan(
     plan program costs ~150 ms of tunnel latency — measured 765 ms vs
     ~210 ms for the whole plan build at web-Google scale.  ``True`` ships
     the host sizing's precomputed permutation + dead-run patch instead
-    (worthwhile only on locally-attached devices)."""
+    (worthwhile only on locally-attached devices).
+
+    ``expand=True`` (default) additionally pre-expands every chunk's
+    partials into the class-aligned cache (``aligned_cols``/``aligned_vals``,
+    built with ``accum_dtype`` value blocks): the numeric phase then runs
+    ZERO gathers — the one-time cost is the same windowed fetch the first
+    multiply would have paid anyway, plus ~4 B/slot of device memory."""
     W = seg_w
     # padded expansions are multiples of W, so class bounds must be too
     classes = tuple(sorted({_round_up(c, W) for c in classes}))
@@ -834,6 +853,17 @@ def spgemm_plan(
         classes_n=classes_n,
         remap=remap,
     )
+    a_dt = str(np.asarray(A.host().data).dtype)
+    b_dt = str(np.asarray(B.host().data).dtype)
+    aligned_cols, aligned_vals, aligned_accum = (), (), None
+    if expand:
+        sched, _ = _chunk_schedule(classes, counts, slot_budget)
+        aligned_cols, aligned_vals = _build_aligned(
+            b2_packed, pa_packed, rowmeta,
+            schedule=tuple(sched), W=W, a_dtype=a_dt, b_dtype=b_dt,
+            accum_dtype=accum_dtype, pattern=pattern, b2_ws=b2_ws,
+        )
+        aligned_accum = str(jnp.dtype(accum_dtype).name)
     return SpgemmPlan(
         b2_packed=b2_packed,
         pa_packed=pa_packed,
@@ -845,10 +875,13 @@ def spgemm_plan(
         npa=npa,
         nrow=A.nrow,
         slot_budget=slot_budget,
-        a_dtype=str(np.asarray(A.host().data).dtype),
-        b_dtype=str(np.asarray(B.host().data).dtype),
+        a_dtype=a_dt,
+        b_dtype=b_dt,
         pattern=pattern,
         b2_ws=b2_ws,
+        aligned_cols=aligned_cols,
+        aligned_vals=aligned_vals,
+        aligned_accum=aligned_accum,
     )
 
 
@@ -897,7 +930,30 @@ def _chunk_body(
     bi = jax.lax.broadcasted_iota(jnp.int32, (R_pad, nblk), 1)
     bm = bi < nb[:, None]  # mask blocks that belong to other rows / padding
 
+    col, val = _chunk_fetch(
+        b2_packed, pa_packed, base, nb, bm,
+        L=L, R_pad=R_pad, W=W, a_dtype=a_dtype, b_dtype=b_dtype,
+        accum_dtype=accum_dtype, pattern=pattern, b2_ws=b2_ws,
+    )
+    return (r,) + _merge_block(
+        col, val, L=L, R_pad=R_pad, accum_dtype=accum_dtype, pattern=pattern
+    )
+
+
+def _chunk_fetch(
+    b2_packed, pa_packed, base, nb, bm,
+    *, L, R_pad, W, a_dtype, b_dtype, accum_dtype, pattern, b2_ws,
+):
+    """The gather half of a chunk: windowed pa fetch + B2 segment pick.
+    Returns (col, val): (R_pad*L,)-flat sentinel-masked columns and — value
+    mode only — the per-partial values (pattern mode returns val=None; run
+    sums are recovered from positions downstream).  Split out so the plan
+    can PRE-EXPAND these into the class-aligned cache (`_build_aligned`)
+    and the warm numeric phase can skip every gather."""
+    nblk = L // W
+    npa_pad = pa_packed[0].shape[0]
     nvb = 0 if pattern else np.dtype(b_dtype).itemsize // 4
+    nva = len(pa_packed) - 1
     ws_b = b2_ws or _fold_ws(W if pattern else (1 + nvb) * W)
     Gb = 128 // ws_b
 
@@ -920,9 +976,36 @@ def _chunk_body(
         # every partial's value is 1 (the reference's forced-pattern
         # semantics): no value array is materialized at all — run sums are
         # recovered from POSITIONS after the sorts (a run of c equal columns
-        # contributes value c), halving the payload of both batched sorts
-        # and deleting the cumsum
-        col = col.reshape(R_pad, L)
+        # contributes value c); sentinel routing above already masked
+        # foreign/pad blocks
+        return col.reshape(R_pad, L), None
+    avbits = jnp.stack(
+        [
+            _extract_window(ch.reshape(-1, 128), base, nblk).reshape(-1)
+            for ch in pa_packed[1:]
+        ],
+        axis=1,
+    )
+    aval = jax.lax.bitcast_convert_type(
+        avbits if nva > 1 else avbits[:, 0], jnp.dtype(a_dtype)
+    )
+    S = g.shape[0]
+    vbits = g[:, W : W + W * nvb]
+    val = jax.lax.bitcast_convert_type(
+        vbits.reshape(S, W, nvb) if nvb > 1 else vbits, jnp.dtype(b_dtype)
+    ).astype(accum_dtype)
+    val = val * aval[:, None].astype(accum_dtype)
+    valid = bm.reshape(-1)[:, None] & (col != _INT_MAX)  # other rows / B2 row tail
+    col = jnp.where(valid, col, _INT_MAX).reshape(R_pad, L)
+    val = jnp.where(valid, val, 0).reshape(R_pad, L)
+    return col, val
+
+
+def _merge_block(col, val, *, L, R_pad, accum_dtype, pattern):
+    """The sort/merge half of a chunk: (R_pad, L) sentinel-masked columns
+    (+ values in value mode) -> (cols_u, vals_u, nuniq) with duplicate
+    columns merged scatter-free."""
+    if pattern:
         (col_s,) = jax.lax.sort((col,), dimension=1, num_keys=1)
         p = jax.lax.broadcasted_iota(jnp.int32, (R_pad, L), 1)
         firsts = (p == 0) | (col_s != _shift_right(col_s))
@@ -934,27 +1017,7 @@ def _chunk_body(
         prevk = _shift_right(outk_s)
         vals_u = jnp.where(p == 0, outk_s + 1, outk_s - prevk).astype(accum_dtype)
         nuniq = jnp.sum(lasts & (col_s != _INT_MAX), axis=1).astype(jnp.int32)
-        return r, cols_u, vals_u, nuniq
-    else:
-        avbits = jnp.stack(
-            [
-                _extract_window(ch.reshape(-1, 128), base, nblk).reshape(-1)
-                for ch in pa_packed[1:]
-            ],
-            axis=1,
-        )
-        aval = jax.lax.bitcast_convert_type(
-            avbits if nva > 1 else avbits[:, 0], jnp.dtype(a_dtype)
-        )
-        S = g.shape[0]
-        vbits = g[:, W : W + W * nvb]
-        val = jax.lax.bitcast_convert_type(
-            vbits.reshape(S, W, nvb) if nvb > 1 else vbits, jnp.dtype(b_dtype)
-        ).astype(accum_dtype)
-        val = val * aval[:, None].astype(accum_dtype)
-        valid = bm.reshape(-1)[:, None] & (col != _INT_MAX)  # other rows / B2 row tail
-        col = jnp.where(valid, col, _INT_MAX).reshape(R_pad, L)
-        val = jnp.where(valid, val, 0).reshape(R_pad, L)
+        return cols_u, vals_u, nuniq
 
     # batched per-row sort by column (pads sort to the end)
     col_s, val_s = jax.lax.sort((col, val), dimension=1, num_keys=1)
@@ -970,7 +1033,74 @@ def _chunk_body(
     prev = jnp.concatenate([jnp.zeros((R_pad, 1), csum_u.dtype), csum_u[:, :-1]], axis=1)
     vals_u = csum_u - prev
     nuniq = jnp.sum(lasts & (col_s != _INT_MAX), axis=1).astype(jnp.int32)
-    return r, cols_u, vals_u, nuniq
+    return cols_u, vals_u, nuniq
+
+
+def _build_aligned_body(
+    b2_packed, pa_packed, rowmeta,
+    *, schedule, W, a_dtype, b_dtype, accum_dtype, pattern, b2_ws,
+):
+    """Pre-expand every chunk's partials into class-aligned FLAT blocks (the
+    gather half of each chunk, run once at plan time).  The expansion depends
+    only on the operand STRUCTURES (+ the values the plan already bakes), so
+    it is exactly as reusable as the plan itself — and the warm numeric
+    phase then contains zero gathers."""
+    cols_t, vals_t = [], []
+    for (L, R_pad, start, cnt) in schedule:
+        nblk = L // W
+        ii = jnp.arange(R_pad, dtype=jnp.int32)
+        in_chunk = ii < jnp.int32(cnt)
+        mm = jax.lax.dynamic_slice(
+            rowmeta, (jnp.int32(start), jnp.zeros((), jnp.int32)), (R_pad, 2)
+        )
+        base = jnp.where(in_chunk, mm[:, 0], 0)
+        nb = jnp.where(in_chunk, mm[:, 1], 0)
+        bi = jax.lax.broadcasted_iota(jnp.int32, (R_pad, nblk), 1)
+        bm = bi < nb[:, None]
+        col, val = _chunk_fetch(
+            b2_packed, pa_packed, base, nb, bm,
+            L=L, R_pad=R_pad, W=W, a_dtype=a_dtype, b_dtype=b_dtype,
+            accum_dtype=accum_dtype, pattern=pattern, b2_ws=b2_ws,
+        )
+        cols_t.append(col.reshape(-1))
+        if val is not None:
+            vals_t.append(val.reshape(-1))
+    return tuple(cols_t), tuple(vals_t)
+
+
+_build_aligned = jax.jit(
+    _build_aligned_body,
+    static_argnames=(
+        "schedule", "W", "a_dtype", "b_dtype", "accum_dtype", "pattern", "b2_ws",
+    ),
+)
+
+
+def _fused_numeric_aligned_body(
+    aligned_cols, aligned_vals, rows_sorted, *, schedule, accum_dtype, pattern,
+):
+    """Numeric phase over the pre-expanded class-aligned cache: reshape each
+    flat block to its (R_pad, L) slab, batched-sort, merge — no gathers at
+    all; one compiled program."""
+    outs = []
+    for i, (L, R_pad, start, cnt) in enumerate(schedule):
+        r = jax.lax.dynamic_slice(rows_sorted, (jnp.int32(start),), (R_pad,))
+        col = aligned_cols[i].reshape(R_pad, L)
+        val = aligned_vals[i].reshape(R_pad, L) if not pattern else None
+        outs.append(
+            (r,)
+            + _merge_block(
+                col, val, L=L, R_pad=R_pad, accum_dtype=accum_dtype,
+                pattern=pattern,
+            )
+        )
+    return tuple(outs)
+
+
+_fused_numeric_aligned = jax.jit(
+    _fused_numeric_aligned_body,
+    static_argnames=("schedule", "accum_dtype", "pattern"),
+)
 
 
 def _fused_numeric_body(
@@ -981,7 +1111,8 @@ def _fused_numeric_body(
     numeric phase of the two-phase (symbolic/numeric) SpGEMM API.  Re-running
     a plan skips the host sizing pass AND the plan's B2/pa scatter passes:
     only the windowed fetches, batched sorts, and merges execute (~half the
-    cold device time at web-Google scale)."""
+    cold device time at web-Google scale).  Plans carrying the class-aligned
+    cache route to :func:`_fused_numeric_aligned` instead (zero gathers)."""
     return tuple(
         _chunk_body(
             b2_packed, pa_packed, rows_sorted, rowmeta,
@@ -1191,22 +1322,39 @@ def spgemm_slab_device(
             plan.classes, plan.class_counts, plan.slot_budget
         )
         # one compiled program for ALL chunks (single dispatch on the
-        # remote tunnel) — the numeric phase of the two-phase API
-        outs = list(
-            _fused_numeric(
-                plan.b2_packed,
-                plan.pa_packed,
-                plan.rows_sorted,
-                plan.rowmeta,
-                schedule=tuple(sched),
-                W=plan.seg_w,
-                a_dtype=plan.a_dtype,
-                b_dtype=plan.b_dtype,
-                accum_dtype=accum_dtype,
-                pattern=plan.pattern,
-                b2_ws=plan.b2_ws,
-            )
+        # remote tunnel) — the numeric phase of the two-phase API.  Plans
+        # carrying the class-aligned cache run the gather-free program; the
+        # cache's accum dtype must match (else fall back to the fetch path).
+        use_aligned = bool(plan.aligned_cols) and plan.aligned_accum == str(
+            jnp.dtype(accum_dtype).name
         )
+        if use_aligned:
+            outs = list(
+                _fused_numeric_aligned(
+                    plan.aligned_cols,
+                    plan.aligned_vals,
+                    plan.rows_sorted,
+                    schedule=tuple(sched),
+                    accum_dtype=accum_dtype,
+                    pattern=plan.pattern,
+                )
+            )
+        else:
+            outs = list(
+                _fused_numeric(
+                    plan.b2_packed,
+                    plan.pa_packed,
+                    plan.rows_sorted,
+                    plan.rowmeta,
+                    schedule=tuple(sched),
+                    W=plan.seg_w,
+                    a_dtype=plan.a_dtype,
+                    b_dtype=plan.b_dtype,
+                    accum_dtype=accum_dtype,
+                    pattern=plan.pattern,
+                    b2_ws=plan.b2_ws,
+                )
+            )
         ntail = int(plan.class_counts[len(plan.classes)])
         tail_rows = (
             np.asarray(plan.rows_sorted[tail_start : tail_start + ntail])

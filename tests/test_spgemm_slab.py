@@ -233,3 +233,28 @@ def test_rmat_axa():
     A = rmat_matrix(11, edge_factor=8, seed=19)  # 2048 nodes, ~16K edges
     C = spgemm_slab(A, A)
     _check(C, _oracle(A.to_scipy(), A.to_scipy()))
+
+
+def test_plan_aligned_cache_parity():
+    """The class-aligned pre-expanded cache (spgemm_plan(expand=True), the
+    default) must produce bit-identical chunk outputs to the fetch-inside-
+    chunks path (expand=False), in pattern and value modes."""
+    import dataclasses as _dc
+
+    from spmm_tpu.ops.slab_spgemm import spgemm_plan, spgemm_slab_device
+
+    A = webgraph_like(1200, 7200, seed=7)
+    rng = np.random.default_rng(8)
+    Av = _dc.replace(
+        A, data=rng.standard_normal(A.data.shape[0]).astype(np.float32)
+    )
+    for M in (A, Av):
+        p_al = spgemm_plan(M, M)  # expand=True default
+        p_fe = spgemm_plan(M, M, expand=False)
+        assert bool(p_al.aligned_cols) and not p_fe.aligned_cols
+        o1, t1, _ = spgemm_slab_device(M, M, plan=p_al)
+        o2, t2, _ = spgemm_slab_device(M, M, plan=p_fe)
+        assert np.array_equal(t1, t2)
+        for c1, c2 in zip(o1, o2):
+            for x1, x2 in zip(c1, c2):
+                assert np.array_equal(np.asarray(x1), np.asarray(x2))
