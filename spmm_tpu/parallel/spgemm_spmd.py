@@ -47,6 +47,8 @@ from spmm_tpu.ops.slab_spgemm import (
     DEFAULT_SLOT_BUDGET,
     _bucket_pow2,
     _chunk_body,
+    _chunk_fetch,
+    _merge_block,
     _nseg_pad,
     _pick_b2_ws,
     _plan_body,
@@ -775,3 +777,215 @@ def spgemm_dist_halo_exchange(
             accum_dtype, row_starts, rows_l, cols_l, vals_l,
         )
     return _finish_global_csr(rows_l, cols_l, vals_l, (S.shape[0], B.ncol))
+
+
+# ---------------------------------------------------------------------------
+# two-phase distributed SpGEMM (plan once / multiply many, the distributed
+# mirror of ops.slab_spgemm.spgemm_plan + its class-aligned cache)
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class DistSpgemmPlan:
+    """Row-sharded symbolic phase: per-shard class-aligned pre-expanded
+    partials (flat blocks, one per uniform-schedule entry) + the runtime
+    scalar tables, all resident on the mesh.  Heavy-tail products (host
+    fallback) are structure+value dependent and therefore precomputed once
+    here too.  Re-execution (:func:`spgemm_dist_exec`) runs ONE gather-free
+    SPMD program: dynamic_slice, batched sort, merge — no collectives, no
+    per-multiply host work beyond the assembly."""
+
+    rows_sorted: jax.Array  #: (nsh, nrow_pad), sharded over the mesh axis
+    sc_tab: jax.Array  #: (nsh, 2, nchunks) runtime (start, count) scalars
+    aligned_cols: tuple  #: sharded (nsh, R_pad*L) flat blocks per entry
+    aligned_vals: tuple  #: value-mode companions (empty in pattern mode)
+    schedule: tuple  #: ((L, R_pad), ...) uniform over shards
+    tail: tuple  #: host (rows_l, cols_l, vals_l) lists, global row ids
+    row_starts: np.ndarray
+    shape: tuple
+    axis: str
+    pattern: bool
+    accum_dtype: object
+    n_shards: int
+
+
+def spgemm_dist_plan(
+    S: ShardedCSR,
+    B: CSR,
+    mesh: Mesh,
+    *,
+    axis: str = "rows",
+    classes: Sequence[int] = DEFAULT_CLASSES,
+    seg_w: int = DEFAULT_SEG_W,
+    slot_budget: int = DEFAULT_SLOT_BUDGET,
+    accum_dtype=jnp.float32,
+    pattern: bool | None = None,
+) -> DistSpgemmPlan:
+    """Distributed symbolic phase for C = A @ B (A row-sharded, B
+    replicated): per-shard sizing, plan, and class-aligned expansion in one
+    SPMD program; heavy-tail products precomputed via the host fallback."""
+    W = seg_w
+    classes = tuple(sorted({_round_up(c, W) for c in classes}))
+    nsh = S.n_shards
+    if pattern is None:
+        pattern = _detect_shard_pattern(S, B)
+    cls, counts, npa_max, nnz_s = _per_shard_sizing(S, B, W, classes)
+    sched, starts, cnts, _ = _uniform_schedule(
+        counts=counts[:, : len(classes) + 1], classes=classes,
+        slot_budget=slot_budget,
+    )
+    tail_per_shard = counts[:, len(classes)]
+
+    Bh = B.host()
+    b_iptr = np.asarray(Bh.indptr, dtype=np.int64)
+    lenB = b_iptr[1:] - b_iptr[:-1]
+    nsegB = int(((lenB + W - 1) // W).sum())
+    max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
+    rows_pad = S.rows_per_shard
+    kw = dict(
+        W=W,
+        npa_pad=_round_up(npa_max, 1024),
+        nsegB_pad=_nseg_pad(nsegB),
+        nrow=rows_pad,
+        nrow_pad=rows_pad + max_chunk,
+        b2_ws=_pick_b2_ws(W, pattern, np.dtype(B.data.dtype), _nseg_pad(nsegB)),
+    )
+    schedule = tuple(sched)
+
+    spec_sh = P(axis)
+    out_specs = (
+        spec_sh,
+        tuple(spec_sh for _ in schedule),
+        tuple(spec_sh for _ in schedule) if not pattern else (),
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_sh,) * 6 + (P(),) * 3,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def run_plan(indptr, ind, dat, cls_s, nnz_sc, sc_tab, b_indptr, b_ind, b_dat):
+        indptr, ind, dat = indptr[0], ind[0], dat[0]
+        cls_s, nnz_sc, sc_tab = cls_s[0], nnz_sc[0], sc_tab[0]
+        (b2p, pap, rowmeta, _rows_sorted) = _plan_body(
+            indptr, ind, dat, b_indptr, b_ind, b_dat, cls_s, nnz=nnz_sc[0],
+            pattern=pattern, **kw
+        )
+        a_dt, b_dt = str(dat.dtype), str(b_dat.dtype)
+        cols_t, vals_t = [], []
+        for i, (L, R_pad) in enumerate(schedule):
+            start, cnt = sc_tab[0, i], sc_tab[1, i]
+            nblk = L // W
+            ii = jnp.arange(R_pad, dtype=jnp.int32)
+            in_chunk = ii < cnt
+            mm = jax.lax.dynamic_slice(
+                rowmeta, (start, jnp.zeros((), start.dtype)), (R_pad, 2)
+            )
+            base = jnp.where(in_chunk, mm[:, 0], 0)
+            nb = jnp.where(in_chunk, mm[:, 1], 0)
+            bi = jax.lax.broadcasted_iota(jnp.int32, (R_pad, nblk), 1)
+            bm = bi < nb[:, None]
+            col, val = _chunk_fetch(
+                b2p, pap, base, nb, bm,
+                L=L, R_pad=R_pad, W=W, a_dtype=a_dt, b_dtype=b_dt,
+                accum_dtype=accum_dtype, pattern=pattern,
+                b2_ws=kw.get("b2_ws"),
+            )
+            cols_t.append(col.reshape(-1)[None])
+            if val is not None:
+                vals_t.append(val.reshape(-1)[None])
+        return _rows_sorted[None], tuple(cols_t), tuple(vals_t)
+
+    sharding = NamedSharding(mesh, P(axis))
+    dev = lambda a: jax.device_put(np.asarray(a), sharding)
+    sc_tab_h = np.stack([starts, cnts], axis=1)  # (nsh, 2, nchunks)
+    sc_tab_d = dev(sc_tab_h)
+    rows_sorted, aligned_cols, aligned_vals = run_plan(
+        dev(np.asarray(S.indptr, np.int32)),
+        dev(np.asarray(S.indices, np.int32)),
+        dev(np.asarray(S.data)),
+        dev(cls),
+        dev(nnz_s[:, None]),
+        sc_tab_d,
+        jnp.asarray(Bh.indptr, jnp.int32),
+        jnp.asarray(Bh.indices, jnp.int32),
+        jnp.asarray(Bh.data),
+    )
+
+    # heavy-tail products: structure+value dependent -> cache in the plan
+    row_starts = np.asarray(S.row_starts, np.int64)
+    rows_l, cols_l, vals_l = [], [], []
+    if tail_per_shard.sum():
+        _append_shard_tails(
+            rows_sorted, counts, len(classes), tail_per_shard, S, B,
+            accum_dtype, row_starts, rows_l, cols_l, vals_l,
+        )
+    return DistSpgemmPlan(
+        rows_sorted=rows_sorted,
+        sc_tab=sc_tab_d,
+        aligned_cols=tuple(aligned_cols),
+        aligned_vals=tuple(aligned_vals),
+        schedule=schedule,
+        tail=(rows_l, cols_l, vals_l),
+        row_starts=row_starts,
+        shape=(S.shape[0], B.ncol),
+        axis=axis,
+        pattern=pattern,
+        accum_dtype=accum_dtype,
+        n_shards=nsh,
+    )
+
+
+def spgemm_dist_exec(plan: DistSpgemmPlan, mesh: Mesh, *, as_csr: bool = True):
+    """Numeric phase over a :class:`DistSpgemmPlan`: one gather-free SPMD
+    program (dynamic_slice + batched sort + merge per chunk), then host
+    assembly (``as_csr=True``) or the raw sharded chunk outputs."""
+    schedule = plan.schedule
+    pattern = plan.pattern
+    accum_dtype = plan.accum_dtype
+    spec_sh = P(plan.axis)
+    out_specs = tuple((spec_sh,) * 4 for _ in schedule)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_sh, spec_sh)
+        + (spec_sh,) * (len(plan.aligned_cols) + len(plan.aligned_vals)),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def run_numeric(rows_sorted, sc_tab, *blocks):
+        rows_sorted, sc_tab = rows_sorted[0], sc_tab[0]
+        ncols = len(schedule)
+        cols_b = blocks[:ncols]
+        vals_b = blocks[ncols:]
+        outs = []
+        for i, (L, R_pad) in enumerate(schedule):
+            start = sc_tab[0, i]
+            r = jax.lax.dynamic_slice(rows_sorted, (start,), (R_pad,))
+            col = cols_b[i][0].reshape(R_pad, L)
+            val = vals_b[i][0].reshape(R_pad, L) if not pattern else None
+            outs.append(
+                (r,)
+                + _merge_block(
+                    col, val, L=L, R_pad=R_pad, accum_dtype=accum_dtype,
+                    pattern=pattern,
+                )
+            )
+        return tuple(tuple(x[None] for x in o) for o in outs)
+
+    outs = run_numeric(
+        plan.rows_sorted, plan.sc_tab, *plan.aligned_cols, *plan.aligned_vals
+    )
+    if not as_csr:
+        return outs
+    rows_l, cols_l, vals_l = _pull_shard_chunks(outs, plan.row_starts, plan.n_shards)
+    tr, tc, tv = plan.tail
+    rows_l += tr
+    cols_l += tc
+    vals_l += tv
+    return _finish_global_csr(rows_l, cols_l, vals_l, plan.shape)

@@ -310,3 +310,30 @@ def test_spgemm_dist_halo_exchange_matches_scipy(monkeypatch):
             np.asarray(C.data[: C.nnz]), ref.data, rtol=1e-5, atol=2e-5
         )
     assert calls, "all_to_all collective was never traced into the program"
+
+
+def test_spgemm_dist_plan_reuse(mesh):
+    """Distributed two-phase: spgemm_dist_plan + spgemm_dist_exec must match
+    the one-shot SPMD path and scipy exactly, pattern and value modes,
+    including heavy-tail rows, across repeated executions."""
+    import dataclasses as _dc
+
+    from spmm_tpu.parallel import partition_rows
+    from spmm_tpu.parallel.spgemm_spmd import spgemm_dist_exec, spgemm_dist_plan
+
+    A = webgraph_like(1024, 6100, seed=11)
+    rng = np.random.default_rng(12)
+    Av = _dc.replace(A, data=rng.standard_normal(A.data.shape[0]).astype(np.float32))
+    for M in (A, Av):
+        S = partition_rows(M, 8)
+        plan = spgemm_dist_plan(S, M, mesh, classes=(16, 64, 256), slot_budget=1 << 14)
+        ref = (M.to_scipy() @ M.to_scipy()).tocsr()
+        ref.sum_duplicates()
+        ref.sort_indices()
+        for _ in range(2):  # re-exec: the reuse contract
+            C = spgemm_dist_exec(plan, mesh)
+            assert C.nnz == ref.nnz
+            np.testing.assert_array_equal(np.asarray(C.indices[: C.nnz]), ref.indices)
+            np.testing.assert_allclose(
+                np.asarray(C.data[: C.nnz]), ref.data, rtol=1e-4, atol=1e-4
+            )
