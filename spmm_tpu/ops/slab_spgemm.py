@@ -832,7 +832,9 @@ def spgemm_plan(
     else:
         order, presorted, patch = None, False, None
         classes_n, remap = classes, sizing.remap
-    (b2_packed, pa_packed, rowmeta, rows_sorted) = _plan_device(
+    a_dt = str(np.asarray(A.host().data).dtype)
+    b_dt = str(np.asarray(B.host().data).dtype)
+    dev_args = (
         jnp.asarray(A_dev.indptr, jnp.int32),
         jnp.asarray(A_dev.indices, jnp.int32),
         jnp.asarray(A_dev.data),
@@ -840,30 +842,34 @@ def spgemm_plan(
         jnp.asarray(B_dev.indices, jnp.int32),
         jnp.asarray(B_dev.data),
         order,
-        W=W,
-        npa_pad=npa_pad,
-        nsegB_pad=nsegB_pad,
-        nrow=A.nrow,
-        nrow_pad=nrow_pad,
-        nnz=A.nnz,
-        pattern=pattern,
-        b2_ws=b2_ws,
-        presorted=presorted,
-        patch=patch,
-        classes_n=classes_n,
-        remap=remap,
     )
-    a_dt = str(np.asarray(A.host().data).dtype)
-    b_dt = str(np.asarray(B.host().data).dtype)
+    plan_kw = dict(
+        W=W, npa_pad=npa_pad, nsegB_pad=nsegB_pad, nrow=A.nrow,
+        nrow_pad=nrow_pad, nnz=A.nnz, pattern=pattern, b2_ws=b2_ws,
+        presorted=presorted, classes_n=classes_n, remap=remap,
+    )
     aligned_cols, aligned_vals, aligned_accum = (), (), None
-    if expand:
+    if expand and patch is None:
+        # plan + aligned expansion as ONE program / ONE dispatch
         sched, _ = _chunk_schedule(classes, counts, slot_budget)
-        aligned_cols, aligned_vals = _build_aligned(
-            b2_packed, pa_packed, rowmeta,
-            schedule=tuple(sched), W=W, a_dtype=a_dt, b_dtype=b_dt,
-            accum_dtype=accum_dtype, pattern=pattern, b2_ws=b2_ws,
+        (b2_packed, pa_packed, rowmeta, rows_sorted, aligned_cols,
+         aligned_vals) = _plan_aligned_device(
+            *dev_args, schedule=tuple(sched), a_dtype=a_dt, b_dtype=b_dt,
+            accum_dtype=accum_dtype, **plan_kw,
         )
         aligned_accum = str(jnp.dtype(accum_dtype).name)
+    else:
+        (b2_packed, pa_packed, rowmeta, rows_sorted) = _plan_device(
+            *dev_args, patch=patch, **plan_kw,
+        )
+        if expand:
+            sched, _ = _chunk_schedule(classes, counts, slot_budget)
+            aligned_cols, aligned_vals = _build_aligned(
+                b2_packed, pa_packed, rowmeta,
+                schedule=tuple(sched), W=W, a_dtype=a_dt, b_dtype=b_dt,
+                accum_dtype=accum_dtype, pattern=pattern, b2_ws=b2_ws,
+            )
+            aligned_accum = str(jnp.dtype(accum_dtype).name)
     return SpgemmPlan(
         b2_packed=b2_packed,
         pa_packed=pa_packed,
@@ -1072,6 +1078,38 @@ _build_aligned = jax.jit(
     _build_aligned_body,
     static_argnames=(
         "schedule", "W", "a_dtype", "b_dtype", "accum_dtype", "pattern", "b2_ws",
+    ),
+)
+
+
+def _plan_aligned_body(
+    a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, order,
+    *, schedule, a_dtype, b_dtype, accum_dtype, W, npa_pad, nsegB_pad, nrow,
+    nrow_pad, nnz, pattern, b2_ws, presorted, classes_n, remap,
+):
+    """Plan + class-aligned expansion in ONE compiled program (one remote
+    compile, one dispatch — vs two of each for _plan_device then
+    _build_aligned)."""
+    (b2_packed, pa_packed, rowmeta, rows_sorted) = _plan_body(
+        a_indptr, a_ind, a_dat, b_indptr, b_ind, b_dat, order,
+        W=W, npa_pad=npa_pad, nsegB_pad=nsegB_pad, nrow=nrow,
+        nrow_pad=nrow_pad, nnz=nnz, pattern=pattern, b2_ws=b2_ws,
+        presorted=presorted, classes_n=classes_n, remap=remap,
+    )
+    cols_t, vals_t = _build_aligned_body(
+        b2_packed, pa_packed, rowmeta,
+        schedule=schedule, W=W, a_dtype=a_dtype, b_dtype=b_dtype,
+        accum_dtype=accum_dtype, pattern=pattern, b2_ws=b2_ws,
+    )
+    return b2_packed, pa_packed, rowmeta, rows_sorted, cols_t, vals_t
+
+
+_plan_aligned_device = jax.jit(
+    _plan_aligned_body,
+    static_argnames=(
+        "schedule", "a_dtype", "b_dtype", "accum_dtype", "W", "npa_pad",
+        "nsegB_pad", "nrow", "nrow_pad", "nnz", "pattern", "b2_ws",
+        "presorted", "classes_n", "remap",
     ),
 )
 

@@ -7,8 +7,10 @@ from spmm_tpu.parallel.spmm_dist import (
 )
 from spmm_tpu.parallel.spgemm_spmd import (
     spgemm_dist_csr,
+    spgemm_dist_exec,
     spgemm_dist_halo,
     spgemm_dist_halo_exchange,
+    spgemm_dist_plan,
     spgemm_dist_spmd,
 )
 
@@ -20,6 +22,8 @@ __all__ = [
     "spmm_dist_ring",
     "spmv_dist",
     "spgemm_dist_csr",
+    "spgemm_dist_exec",
+    "spgemm_dist_plan",
     "spgemm_dist_halo",
     "spgemm_dist_halo_exchange",
     "spgemm_dist_spmd",
