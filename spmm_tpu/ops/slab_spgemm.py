@@ -793,6 +793,7 @@ def spgemm_plan(
     upload_order: bool = False,
     expand: bool = True,
     accum_dtype=jnp.float32,
+    sizing=None,
 ) -> SpgemmPlan:
     """Build the expansion layout.  Host side is O(nnz+nrow) (sizing + class
     counts, native C++ when available); all O(E) work stays on device.
@@ -817,7 +818,8 @@ def spgemm_plan(
     if pattern is None:
         pattern = _is_pattern(A) and _is_pattern(B)
     A_dev, B_dev = (A_dev or A), (B_dev or B)
-    sizing = _sizing(A, B, W, classes)
+    if sizing is None:
+        sizing = _sizing(A, B, W, classes)
     npa, nsegB, cls, counts = sizing
 
     max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
@@ -1138,6 +1140,33 @@ def _fused_numeric_aligned_body(
 _fused_numeric_aligned = jax.jit(
     _fused_numeric_aligned_body,
     static_argnames=("schedule", "accum_dtype", "pattern"),
+)
+
+
+def _fused_numeric_aligned_csr_body(
+    aligned_cols, aligned_vals, rows_sorted,
+    *, schedule, accum_dtype, pattern, nrow, nnz_pad,
+):
+    """Aligned numeric phase + in-program CSR compaction: ONE dispatch from
+    plan to device-resident (data, indices, indptr, nnz).  The auto-reuse
+    path in spgemm_slab rides this (tail-free plans only)."""
+    outs = _fused_numeric_aligned_body(
+        aligned_cols, aligned_vals, rows_sorted,
+        schedule=schedule, accum_dtype=accum_dtype, pattern=pattern,
+    )
+    return _compact_to_csr(
+        tuple(o[0] for o in outs),
+        tuple(o[1] for o in outs),
+        tuple(o[2] for o in outs),
+        tuple(o[3] for o in outs),
+        nrow=nrow,
+        nnz_pad=nnz_pad,
+    )
+
+
+_fused_numeric_aligned_csr = jax.jit(
+    _fused_numeric_aligned_csr_body,
+    static_argnames=("schedule", "accum_dtype", "pattern", "nrow", "nnz_pad"),
 )
 
 
@@ -1480,6 +1509,45 @@ def spgemm_slab_device(
     return list(outs), tail_rows, None
 
 
+#: auto plan-reuse (spgemm_slab): operand pairs multiplied a second time get
+#: a cached two-phase plan; call 3+ runs the gather-free aligned numeric
+#: program (~5x the cold rate at web-Google scale).  Weakly keyed by operand
+#: identity; capped to bound device memory (~8 B/padded-slot per plan).
+_PLAN_SEEN: dict = {}
+_PLAN_CACHE: dict = {}
+_PLAN_CACHE_MAX = 2
+AUTO_PLAN_MIN_NNZ = 1 << 18
+
+
+def _auto_plan_lookup(key, A, B):
+    ent = _PLAN_CACHE.get(key)
+    if ent is not None and ent[0]() is A and ent[1]() is B:
+        return ent[2]
+    return None
+
+
+def _auto_plan_note(key, A, B, build):
+    """Second sighting of the same (A, B, config) triggers the plan build."""
+    import weakref
+
+    seen = _PLAN_SEEN.get(key)
+    if seen is None or seen[0]() is not A or seen[1]() is not B:
+        _PLAN_SEEN[key] = (
+            weakref.ref(A, lambda r, k=key: _PLAN_SEEN.pop(k, None)),
+            weakref.ref(B),
+        )
+        return None
+    plan = build()
+    while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+        _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+    _PLAN_CACHE[key] = (
+        weakref.ref(A, lambda r, k=key: _PLAN_CACHE.pop(k, None)),
+        weakref.ref(B),
+        plan,
+    )
+    return plan
+
+
 def spgemm_slab(
     A: CSR,
     B: CSR,
@@ -1492,7 +1560,13 @@ def spgemm_slab(
     pattern: bool | None = None,
 ):
     """C = A @ B via per-row-class batched slab sorts (exact: duplicate
-    columns merged, rows ascending, columns sorted within rows)."""
+    columns merged, rows ascending, columns sorted within rows).
+
+    Repeated products over the SAME operand objects self-optimize: the
+    second call builds the two-phase plan (class-aligned expansion cache,
+    see :func:`spgemm_plan`) and every later call executes the gather-free
+    numeric program — no API opt-in needed (host-CSR operands, tail-free
+    sizings, nnz >= AUTO_PLAN_MIN_NNZ)."""
     if pattern is None:  # detect ONCE here; threaded through every sub-call
         pattern = _is_pattern(A) and _is_pattern(B)
     if A.nnz == 0 or B.nnz == 0:
@@ -1531,6 +1605,47 @@ def spgemm_slab(
     # (data+indices, ~8 B/slot) fits comfortably next to the chunk outputs;
     # past this, host assembly (pull each chunk, free it) has the lower peak
     _CSR_COMPACT_MAX = 1 << 26
+    classes_n = tuple(sorted({_round_up(c, W) for c in classes}))
+    ntail = sizing.counts[len(classes_n)] if len(sizing.counts) > len(classes_n) else 0
+    auto_ok = (
+        as_csr
+        and ntail == 0
+        and A.nnz >= AUTO_PLAN_MIN_NNZ
+        and sizing.npa * W <= _CSR_COMPACT_MAX
+        and isinstance(A.data, np.ndarray)
+    )
+    if auto_ok:
+        key = (
+            id(A), id(B), classes_n, W, slot_budget,
+            str(jnp.dtype(accum_dtype).name), pattern,
+        )
+        plan = _auto_plan_lookup(key, A, B)
+        if plan is None:
+            plan = _auto_plan_note(
+                key, A, B,
+                lambda: spgemm_plan(
+                    A, B, classes=classes, seg_w=W, slot_budget=slot_budget,
+                    pattern=pattern, accum_dtype=accum_dtype, sizing=sizing,
+                ),
+            )
+        if plan is not None and plan.aligned_cols:
+            sched, _ = _chunk_schedule(
+                plan.classes, plan.class_counts, plan.slot_budget
+            )
+            nnz_pad = _round_up(plan.npa * plan.seg_w, 1024)
+            data, indices, indptr, knnz = _fused_numeric_aligned_csr(
+                plan.aligned_cols, plan.aligned_vals, plan.rows_sorted,
+                schedule=tuple(sched), accum_dtype=accum_dtype,
+                pattern=plan.pattern, nrow=A.nrow, nnz_pad=nnz_pad,
+            )
+            k = int(knnz)
+            return CSR(
+                data=np.asarray(data[:k]),
+                indices=np.asarray(indices[:k], np.int32),
+                indptr=np.asarray(indptr, np.int64),
+                shape=(A.nrow, B.ncol),
+                nnz=k,
+            )
     if as_csr and sizing.npa * W <= _CSR_COMPACT_MAX:
         # fast path: compact on device, transfer only the CSR arrays
         # (~out_nnz * 8 B instead of the padded slabs)

@@ -258,3 +258,38 @@ def test_plan_aligned_cache_parity():
         for c1, c2 in zip(o1, o2):
             for x1, x2 in zip(c1, c2):
                 assert np.array_equal(np.asarray(x1), np.asarray(x2))
+
+
+def test_auto_plan_reuse():
+    """ops.spgemm(A, A) self-optimizes: call 2 builds the cached plan, call
+    3 rides the gather-free aligned numeric path — results identical to the
+    cold path and scipy across all calls, pattern and value modes."""
+    import dataclasses as _dc
+
+    from spmm_tpu.ops import slab_spgemm as ss
+
+    old_min = ss.AUTO_PLAN_MIN_NNZ
+    ss.AUTO_PLAN_MIN_NNZ = 1  # the test matrix is small
+    try:
+        A = webgraph_like(900, 5400, seed=9)
+        rng = np.random.default_rng(10)
+        Av = _dc.replace(
+            A, data=rng.standard_normal(A.data.shape[0]).astype(np.float32)
+        )
+        for M in (A, Av):
+            ss._PLAN_SEEN.clear(); ss._PLAN_CACHE.clear()
+            ref = (M.to_scipy() @ M.to_scipy()).tocsr()
+            ref.sum_duplicates(); ref.sort_indices()
+            for call in range(3):
+                C = ss.spgemm_slab(M, M)
+                assert C.nnz == ref.nnz, (call, C.nnz, ref.nnz)
+                np.testing.assert_array_equal(
+                    np.asarray(C.indices[: C.nnz]), ref.indices
+                )
+                np.testing.assert_allclose(
+                    np.asarray(C.data[: C.nnz]), ref.data, rtol=1e-5, atol=1e-5
+                )
+            assert len(ss._PLAN_CACHE) == 1  # built on call 2, reused on 3
+    finally:
+        ss.AUTO_PLAN_MIN_NNZ = old_min
+        ss._PLAN_SEEN.clear(); ss._PLAN_CACHE.clear()
