@@ -124,7 +124,7 @@ def bench_kernels(A, P, k, chip, full=False):
     from spmm_tpu.ops.roofline import spmm_attainable, spmv_attainable
     from spmm_tpu.utils.timing import measure_device_loop, measure_host
 
-    extras = {}
+    extras = RESULT  # write-through: a signal-time emit sees partial sections
     m, n = A.shape
     B0 = jnp.asarray(np.random.default_rng(0).standard_normal((m, k)).astype(np.float32))
     x0 = jnp.asarray(np.random.default_rng(1).standard_normal(m).astype(np.float32))
@@ -269,7 +269,7 @@ def bench_spgemm(A, chip):
     from spmm_tpu.ops import spgemm_expand_bound, spgemm_roofline
     from spmm_tpu.ops.slab_spgemm import spgemm_slab_device
 
-    extras = {}
+    extras = RESULT  # write-through: a signal-time emit sees partial sections
     expand = spgemm_expand_bound(A, A)
     log(f"spgemm expansion: {expand/1e6:.1f} M partial products")
     Ad = A.device()  # matrix resident on device, as in steady-state use
@@ -427,7 +427,7 @@ def bench_suite(cfg):
     from spmm_tpu.formats.synthetic import webgraph_like
     from spmm_tpu.ops.slab_spgemm import spgemm_slab_device
 
-    extras = {}
+    extras = RESULT  # write-through: a signal-time emit sees partial sections
     for name, (n, nnz) in SUITE.items():
         if name == "web-Google":
             continue
@@ -594,4 +594,13 @@ def run_reference_binary(A):
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # the JSON line is emitted in EVERY exit path
+        RESULT["error"] = repr(e)[:300]
+        emit()
+        raise
+    finally:
+        emit()

@@ -834,8 +834,8 @@ def spgemm_plan(
     else:
         order, presorted, patch = None, False, None
         classes_n, remap = classes, sizing.remap
-    a_dt = str(np.asarray(A.host().data).dtype)
-    b_dt = str(np.asarray(B.host().data).dtype)
+    a_dt = str(np.dtype(A.data.dtype))
+    b_dt = str(np.dtype(B.data.dtype))
     dev_args = (
         jnp.asarray(A_dev.indptr, jnp.int32),
         jnp.asarray(A_dev.indices, jnp.int32),
@@ -898,6 +898,23 @@ def spgemm_plan(
 # ---------------------------------------------------------------------------
 
 
+def _chunk_meta(rowmeta, start, count, R_pad: int, nblk: int):
+    """(base, nb, bm) for one chunk's contiguous row range: rowmeta slice +
+    the in-chunk row mask and foreign/pad block mask.  Shared by the direct
+    chunk path, the aligned-cache builder, and the distributed plan builder —
+    the masking rule must never diverge between them."""
+    ii = jnp.arange(R_pad, dtype=jnp.int32)
+    in_chunk = ii < count
+    mm = jax.lax.dynamic_slice(
+        rowmeta, (start, jnp.zeros((), start.dtype)), (R_pad, 2)
+    )
+    base = jnp.where(in_chunk, mm[:, 0], 0)
+    nb = jnp.where(in_chunk, mm[:, 1], 0)
+    bi = jax.lax.broadcasted_iota(jnp.int32, (R_pad, nblk), 1)
+    bm = bi < nb[:, None]
+    return base, nb, bm
+
+
 def _chunk_body(
     b2_packed,  # (nsegB_pad, (1+nvb)*W): [cols | B value bits]
     pa_packed,  # (npa_pad, 1+nva): [b2row | A value bits]
@@ -922,21 +939,10 @@ def _chunk_body(
     In ``pattern`` mode every partial's value is 1 (synthesized from column
     validity — no value channels).  Returns (rows, cols_u, vals_u, nuniq)."""
     nblk = L // W
-    nva = len(pa_packed) - 1
-    npa_pad = pa_packed[0].shape[0]
-    ii = jnp.arange(R_pad, dtype=jnp.int32)
-    in_chunk = ii < count
     r = jax.lax.dynamic_slice(rows_sorted, (start,), (R_pad,))
     # (base, count) pre-permuted into class order by the plan: contiguous
     # slices here, no per-row gathers
-    mm = jax.lax.dynamic_slice(
-        rowmeta, (start, jnp.zeros((), start.dtype)), (R_pad, 2)
-    )
-    base = jnp.where(in_chunk, mm[:, 0], 0)
-    nb = jnp.where(in_chunk, mm[:, 1], 0)
-
-    bi = jax.lax.broadcasted_iota(jnp.int32, (R_pad, nblk), 1)
-    bm = bi < nb[:, None]  # mask blocks that belong to other rows / padding
+    base, nb, bm = _chunk_meta(rowmeta, start, count, R_pad, nblk)
 
     col, val = _chunk_fetch(
         b2_packed, pa_packed, base, nb, bm,
@@ -1056,15 +1062,9 @@ def _build_aligned_body(
     cols_t, vals_t = [], []
     for (L, R_pad, start, cnt) in schedule:
         nblk = L // W
-        ii = jnp.arange(R_pad, dtype=jnp.int32)
-        in_chunk = ii < jnp.int32(cnt)
-        mm = jax.lax.dynamic_slice(
-            rowmeta, (jnp.int32(start), jnp.zeros((), jnp.int32)), (R_pad, 2)
+        base, nb, bm = _chunk_meta(
+            rowmeta, jnp.int32(start), jnp.int32(cnt), R_pad, nblk
         )
-        base = jnp.where(in_chunk, mm[:, 0], 0)
-        nb = jnp.where(in_chunk, mm[:, 1], 0)
-        bi = jax.lax.broadcasted_iota(jnp.int32, (R_pad, nblk), 1)
-        bm = bi < nb[:, None]
         col, val = _chunk_fetch(
             b2_packed, pa_packed, base, nb, bm,
             L=L, R_pad=R_pad, W=W, a_dtype=a_dtype, b_dtype=b_dtype,
@@ -1205,12 +1205,6 @@ _plan_device = jax.jit(
     static_argnames=(
         "W", "npa_pad", "nsegB_pad", "nrow", "nrow_pad", "nnz", "pattern",
         "b2_ws", "presorted", "classes_n", "remap",
-    ),
-)
-_numeric_chunk = jax.jit(
-    _chunk_body,
-    static_argnames=(
-        "L", "R_pad", "W", "a_dtype", "b_dtype", "accum_dtype", "pattern", "b2_ws",
     ),
 )
 
@@ -1519,10 +1513,29 @@ _PLAN_CACHE_MAX = 2
 AUTO_PLAN_MIN_NNZ = 1 << 18
 
 
+def _operand_fingerprint(A: CSR, B: CSR):
+    """Cheap content fingerprint guarding the auto plan cache against
+    in-place mutation of the (frozen-dataclass, but numpy-backed) operands:
+    the plan bakes VALUES and STRUCTURE, so a user writing A.data[:] between
+    calls must invalidate it.  Full sums over data+indices (~10 ms at 5M
+    nnz — small next to the O(nnz) sizing pass this path already runs)."""
+    def fp(M):
+        d = np.asarray(M.data[: M.nnz])
+        return (
+            int(M.nnz),
+            float(np.add.reduce(d, dtype=np.float64)),
+            int(np.add.reduce(np.asarray(M.indices[: M.nnz]), dtype=np.int64)),
+        )
+
+    return fp(A) + (fp(B) if B is not A else ())
+
+
 def _auto_plan_lookup(key, A, B):
     ent = _PLAN_CACHE.get(key)
     if ent is not None and ent[0]() is A and ent[1]() is B:
-        return ent[2]
+        if ent[3] == _operand_fingerprint(A, B):
+            return ent[2]
+        _PLAN_CACHE.pop(key, None)  # operands mutated in place: invalidate
     return None
 
 
@@ -1534,7 +1547,7 @@ def _auto_plan_note(key, A, B, build):
     if seen is None or seen[0]() is not A or seen[1]() is not B:
         _PLAN_SEEN[key] = (
             weakref.ref(A, lambda r, k=key: _PLAN_SEEN.pop(k, None)),
-            weakref.ref(B),
+            weakref.ref(B, lambda r, k=key: _PLAN_SEEN.pop(k, None)),
         )
         return None
     plan = build()
@@ -1542,8 +1555,9 @@ def _auto_plan_note(key, A, B, build):
         _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
     _PLAN_CACHE[key] = (
         weakref.ref(A, lambda r, k=key: _PLAN_CACHE.pop(k, None)),
-        weakref.ref(B),
+        weakref.ref(B, lambda r, k=key: _PLAN_CACHE.pop(k, None)),
         plan,
+        _operand_fingerprint(A, B),
     )
     return plan
 
@@ -1581,8 +1595,9 @@ def spgemm_slab(
     # huge products: split A's rows so each piece's padded expansion fits
     # the device kernel's int32 budget (the >=100M-nnz multi-host regime)
     W = seg_w
+    classes_n = tuple(sorted({_round_up(c, W) for c in classes}))
     try:
-        sizing = _sizing(A, B, W, tuple(sorted({_round_up(c, W) for c in classes})))
+        sizing = _sizing(A, B, W, classes_n)
     except _ExpansionTooLarge as e:
         # huge products: uniform row pieces through ONE compiled program
         # (recursive halving would recompile per piece size).  Start the
@@ -1605,7 +1620,6 @@ def spgemm_slab(
     # (data+indices, ~8 B/slot) fits comfortably next to the chunk outputs;
     # past this, host assembly (pull each chunk, free it) has the lower peak
     _CSR_COMPACT_MAX = 1 << 26
-    classes_n = tuple(sorted({_round_up(c, W) for c in classes}))
     ntail = sizing.counts[len(classes_n)] if len(sizing.counts) > len(classes_n) else 0
     auto_ok = (
         as_csr

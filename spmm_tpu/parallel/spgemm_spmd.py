@@ -48,6 +48,7 @@ from spmm_tpu.ops.slab_spgemm import (
     _bucket_pow2,
     _chunk_body,
     _chunk_fetch,
+    _chunk_meta,
     _merge_block,
     _nseg_pad,
     _pick_b2_ws,
@@ -880,15 +881,7 @@ def spgemm_dist_plan(
         for i, (L, R_pad) in enumerate(schedule):
             start, cnt = sc_tab[0, i], sc_tab[1, i]
             nblk = L // W
-            ii = jnp.arange(R_pad, dtype=jnp.int32)
-            in_chunk = ii < cnt
-            mm = jax.lax.dynamic_slice(
-                rowmeta, (start, jnp.zeros((), start.dtype)), (R_pad, 2)
-            )
-            base = jnp.where(in_chunk, mm[:, 0], 0)
-            nb = jnp.where(in_chunk, mm[:, 1], 0)
-            bi = jax.lax.broadcasted_iota(jnp.int32, (R_pad, nblk), 1)
-            bm = bi < nb[:, None]
+            base, nb, bm = _chunk_meta(rowmeta, start, cnt, R_pad, nblk)
             col, val = _chunk_fetch(
                 b2p, pap, base, nb, bm,
                 L=L, R_pad=R_pad, W=W, a_dtype=a_dt, b_dtype=b_dt,

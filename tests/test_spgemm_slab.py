@@ -290,6 +290,15 @@ def test_auto_plan_reuse():
                     np.asarray(C.data[: C.nnz]), ref.data, rtol=1e-5, atol=1e-5
                 )
             assert len(ss._PLAN_CACHE) == 1  # built on call 2, reused on 3
+        # in-place value mutation must invalidate the cached plan (the plan
+        # bakes values; the fingerprint guard catches the rewrite)
+        Av.data[: Av.nnz] *= 2.0
+        ref2 = (Av.to_scipy() @ Av.to_scipy()).tocsr()
+        ref2.sum_duplicates(); ref2.sort_indices()
+        C = ss.spgemm_slab(Av, Av)
+        np.testing.assert_allclose(
+            np.asarray(C.data[: C.nnz]), ref2.data, rtol=1e-4, atol=1e-4
+        )
     finally:
         ss.AUTO_PLAN_MIN_NNZ = old_min
         ss._PLAN_SEEN.clear(); ss._PLAN_CACHE.clear()
