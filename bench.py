@@ -339,11 +339,15 @@ def bench_spgemm(A, chip):
     # analog (cuSPARSE-style reuse: same structure, repeated products)
     if plan is not None and gate("spgemm_warm_run", 150):
         try:
-            # steady-state plan-build time (program compiled above)
-            t0 = _time.perf_counter()
-            plan = spgemm_plan(A, A, A_dev=Ad, B_dev=Ad)
-            np.asarray(plan.rows_sorted[:1])
-            extras["spgemm_plan_ms"] = round((_time.perf_counter() - t0) * 1e3, 1)
+            # steady-state plan-build time (program compiled above); min of
+            # 2 — the tunnel's D2H fence occasionally stalls for seconds
+            pts = []
+            for _ in range(2):
+                t0 = _time.perf_counter()
+                plan = spgemm_plan(A, A, A_dev=Ad, B_dev=Ad)
+                np.asarray(plan.rows_sorted[:1])
+                pts.append((_time.perf_counter() - t0) * 1e3)
+            extras["spgemm_plan_ms"] = round(min(pts), 1)
 
             def run_warm():
                 outs, _, _ = spgemm_slab_device(A, A, plan=plan)
@@ -384,28 +388,38 @@ def bench_spgemm(A, chip):
     return extras
 
 
-def bench_scaling_cpu(*, quick: bool = False):
-    """Executed 1/2/4/8-virtual-device SPMD SpGEMM wall times (VERDICT r1
-    #9) — a subprocess, because the CPU device-count flag is process-global
-    and this process owns the TPU."""
+def bench_scaling_start(*, quick: bool = False):
+    """Launch the 1/2/4/8-virtual-device SPMD SpGEMM scaling run (VERDICT r1
+    #9) as a CPU-only subprocess RIGHT AFTER the headline: its minutes of
+    XLA CPU compile overlap the device sections (this process mostly waits
+    on remote RPCs), and the TPU stays owned by this process."""
     import subprocess
 
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "scaling_cpu.py")
-    sub_budget = max(45.0, min(330.0, time_left() - 75.0))
+    sub_budget = max(45.0, min(500.0, time_left() - 90.0))
     cmd = [sys.executable, script, "--budget", str(sub_budget)]
     if quick:
-        cmd += ["--n", "30000", "--nnz", "180000", "--iters", "2"]
+        cmd += ["--n", "12000", "--nnz", "72000", "--iters", "1"]
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     root = os.path.dirname(os.path.abspath(__file__))
     env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
-    sub_timeout = sub_budget + 60.0  # budget is soft; the kill is the backstop
-    r = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=sub_timeout, env=env, cwd=root
+    return subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env, cwd=root,
     )
-    if r.returncode != 0:
-        raise RuntimeError(f"scaling_cpu failed: {r.stderr[-300:]}")
-    line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+
+
+def bench_scaling_collect(proc):
+    try:
+        out_s, _ = proc.communicate(timeout=max(20.0, time_left() - 20.0))
+    except Exception:
+        proc.kill()
+        proc.communicate()
+        raise
+    if proc.returncode != 0:
+        raise RuntimeError(f"scaling_cpu exited {proc.returncode}")
+    line = [l for l in out_s.strip().splitlines() if l.startswith("{")][-1]
     out = json.loads(line)
     log("scaling:", out)
     return out
@@ -533,6 +547,14 @@ def main():
     chip = detect_chip()
     RESULT["device"] = getattr(jax.devices()[0], "device_kind", jax.devices()[0].platform)
 
+    scaling_proc = None
+    if not args.no_scaling and gate("scaling", 90):
+        try:
+            scaling_proc = bench_scaling_start(quick=args.quick)
+        except Exception as e:
+            log("scaling launch failed:", repr(e))
+            RESULT["scaling_error"] = repr(e)[:200]
+
     if not args.no_spgemm and gate("spgemm", 150):
         try:
             RESULT.update(bench_spgemm(A, chip))
@@ -551,9 +573,9 @@ def main():
         except Exception as e:
             log("suite bench failed:", repr(e))
             RESULT["suite_error"] = repr(e)[:200]
-    if not args.no_scaling and gate("scaling", 90):
+    if scaling_proc is not None:
         try:
-            RESULT.update(bench_scaling_cpu(quick=args.quick))
+            RESULT.update(bench_scaling_collect(scaling_proc))
         except Exception as e:
             log("scaling bench failed:", repr(e))
             RESULT["scaling_error"] = repr(e)[:200]

@@ -48,9 +48,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=120_000)
-    ap.add_argument("--nnz", type=int, default=720_000)
-    ap.add_argument("--iters", type=int, default=3)
+    # sized so the 1-core CPU backend finishes all 4 device counts in a few
+    # minutes INCLUDING compiles (the r3 shard_map jit fix dropped warm calls
+    # from ~37 s to <1 s; compiles remain the budget driver)
+    ap.add_argument("--n", type=int, default=60_000)
+    ap.add_argument("--nnz", type=int, default=360_000)
+    ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--budget", type=float, default=330.0,
                     help="soft wall-time budget (s): remaining device counts "
                     "are skipped once exceeded, partial curve still printed")

@@ -154,8 +154,35 @@ def _detect_shard_pattern(S: ShardedCSR, B: CSR) -> bool:
     )
 
 
+#: compiled-program memo: _make_spmd_run builds a fresh shard_map closure per
+#: call, which costs a full retrace (+ cache-hit recompile) on EVERY repeated
+#: distributed multiply — seconds per call on the CPU backend.  All inputs
+#: that shape the program are hashable, so identical configurations reuse the
+#: same jitted callable.
+_SPMD_RUN_CACHE: dict = {}
+
+
 def _make_spmd_run(mesh, axis, schedule, kw, W, accum_dtype, pattern, b_sharded,
                    compact_nnz_pad=None, exchange=None):
+    key = (
+        mesh, axis, tuple(schedule), tuple(sorted(kw.items())), W,
+        str(jnp.dtype(accum_dtype).name), pattern, b_sharded,
+        compact_nnz_pad, bool(exchange),
+    )
+    run = _SPMD_RUN_CACHE.get(key)
+    if run is None:
+        run = _make_spmd_run_uncached(
+            mesh, axis, schedule, kw, W, accum_dtype, pattern, b_sharded,
+            compact_nnz_pad=compact_nnz_pad, exchange=exchange,
+        )
+        if len(_SPMD_RUN_CACHE) > 32:
+            _SPMD_RUN_CACHE.pop(next(iter(_SPMD_RUN_CACHE)))
+        _SPMD_RUN_CACHE[key] = run
+    return run
+
+
+def _make_spmd_run_uncached(mesh, axis, schedule, kw, W, accum_dtype, pattern,
+                            b_sharded, compact_nnz_pad=None, exchange=None):
     """The one SPMD program every distribution strategy executes: per-shard
     plan + uniform runtime-scalar chunk schedule.  ``b_sharded`` selects
     whether the three B arrays carry a leading shard axis (halo path) or are
@@ -245,7 +272,12 @@ def _make_spmd_run(mesh, axis, schedule, kw, W, accum_dtype, pattern, b_sharded,
         outs = tuple(tuple(x[None] for x in o) for o in outs)
         return rows_sorted[None], outs
 
-    return run
+    # shard_map WITHOUT jit executes eagerly — op-by-op through the shard_map
+    # machinery, ~37 s of size-independent overhead per call for this program
+    # (measured on the CPU mesh).  jit compiles it once per configuration;
+    # the _SPMD_RUN_CACHE memo above keeps the jitted callable alive across
+    # repeated distributed multiplies.
+    return jax.jit(run)
 
 
 def _pull_shard_chunks(outs, row_starts, nsh):
@@ -893,6 +925,7 @@ def spgemm_dist_plan(
                 vals_t.append(val.reshape(-1)[None])
         return _rows_sorted[None], tuple(cols_t), tuple(vals_t)
 
+    run_plan = jax.jit(run_plan)  # see _make_spmd_run: unjitted = eager
     sharding = NamedSharding(mesh, P(axis))
     dev = lambda a: jax.device_put(np.asarray(a), sharding)
     sc_tab_h = np.stack([starts, cnts], axis=1)  # (nsh, 2, nchunks)
@@ -971,6 +1004,7 @@ def spgemm_dist_exec(plan: DistSpgemmPlan, mesh: Mesh, *, as_csr: bool = True):
             )
         return tuple(tuple(x[None] for x in o) for o in outs)
 
+    run_numeric = jax.jit(run_numeric)  # see _make_spmd_run: unjitted = eager
     outs = run_numeric(
         plan.rows_sorted, plan.sc_tab, *plan.aligned_cols, *plan.aligned_vals
     )
