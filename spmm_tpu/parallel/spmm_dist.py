@@ -54,6 +54,8 @@ def spmm_dist(S: ShardedCSR, B: jax.Array, mesh: Mesh, *, axis: str = "rows") ->
         y = _local_spmm(data[0], indices[0], indptr[0], b)
         return y[None]
 
+    # shard_map without jit executes eagerly (see spgemm_spmd._make_spmd_run)
+    step = jax.jit(step)
     return step(jnp.asarray(S.data), jnp.asarray(S.indices), jnp.asarray(S.indptr), Bs)
 
 
@@ -107,6 +109,8 @@ def spmm_dist_ring(S: ShardedCSR, B: jax.Array, mesh: Mesh, *, axis: str = "rows
         y, _ = jax.lax.fori_loop(0, n, body, (y0, b_local))
         return y[None]
 
+    # shard_map without jit executes eagerly (see spgemm_spmd._make_spmd_run)
+    step = jax.jit(step)
     return step(jnp.asarray(S.data), jnp.asarray(S.indices), jnp.asarray(S.indptr), Bs)
 
 
