@@ -163,6 +163,45 @@ def bench_kernels(A, P, k, chip, full=False):
         extras["spmv_ell_att_frac"] = round(
             spmv_attainable(E.padded_nnz) / (t.median_ms * 1e-3), 3
         )
+    # --- BSR MXU kernel (BASELINE config 4) — cheap compiles (~5 s), runs
+    # before the expensive narrow-k/dispatcher compiles so a cold-cache
+    # budget squeeze still records the MXU path ------------------------------
+    if gate("bsr", 60):
+        try:
+            from spmm_tpu.formats.bsr import csr_to_bsr
+            from spmm_tpu.formats.synthetic import banded_random
+            from spmm_tpu.ops.pallas_bsr import bsr_spmm_pallas, bsr_spmv
+
+            nb = 65536
+            Ab = banded_random(nb, 512, 0.25, seed=3)
+            Bs = csr_to_bsr(Ab, (8, 128)).device()
+            Bd = jnp.asarray(
+                np.random.default_rng(2)
+                .standard_normal((((nb + 127) // 128) * 128, 128))
+                .astype(np.float32)
+            )
+            t = measure_device_loop(
+                lambda c, Bs: norm(bsr_spmm_pallas(Bs, c)), Bd, (Bs,),
+                name="bsr_spmm_k128", iters=8
+            )
+            fl = 2.0 * Bs.nblocks * 8 * 128 * 128
+            extras["bsr_spmm_k128_ms"] = round(t.median_ms, 3)
+            extras["bsr_spmm_k128_gflops"] = round(fl / (t.median_ms * 1e-3) / 1e9, 1)
+            extras["bsr_nblocks"] = int(Bs.nblocks)
+            log(t)
+
+            xb = Bd[:, 0]
+            t = measure_device_loop(
+                lambda c, Bs: norm(bsr_spmv(Bs, c)), xb, (Bs,), name="bsr_spmv", iters=8
+            )
+            flv = 2.0 * Bs.nblocks * 8 * 128
+            extras["bsr_spmv_ms"] = round(t.median_ms, 3)
+            extras["bsr_spmv_gflops"] = round(flv / (t.median_ms * 1e-3) / 1e9, 1)
+            log(t)
+        except Exception as e:
+            log("bsr bench failed:", repr(e))
+            extras["bsr_error"] = repr(e)[:200]
+
     # tall-skinny k=32 (BASELINE config 3 benches k=32 and k=128)
     if gate("spmm_ell_k32", 60):
         B32 = B0[:, :32]
@@ -208,45 +247,6 @@ def bench_kernels(A, P, k, chip, full=False):
         )
         record("spmm_blocked_k128", t)
 
-    # --- BSR MXU kernel (BASELINE config 4) ---------------------------------
-    # on a banded block matrix of similar size — web graphs have no block
-    # structure, so BSR gets its natural input
-    if gate("bsr", 60):
-        try:
-            from spmm_tpu.formats.bsr import csr_to_bsr
-            from spmm_tpu.formats.synthetic import banded_random
-            from spmm_tpu.ops.pallas_bsr import bsr_spmm_pallas, bsr_spmv
-
-            nb = 65536
-            Ab = banded_random(nb, 512, 0.25, seed=3)
-            Bs = csr_to_bsr(Ab, (8, 128)).device()
-            Bd = jnp.asarray(
-                np.random.default_rng(2)
-                .standard_normal((((nb + 127) // 128) * 128, 128))
-                .astype(np.float32)
-            )
-            t = measure_device_loop(
-                lambda c, Bs: norm(bsr_spmm_pallas(Bs, c)), Bd, (Bs,),
-                name="bsr_spmm_k128", iters=8
-            )
-            fl = 2.0 * Bs.nblocks * 8 * 128 * 128
-            extras["bsr_spmm_k128_ms"] = round(t.median_ms, 3)
-            extras["bsr_spmm_k128_gflops"] = round(fl / (t.median_ms * 1e-3) / 1e9, 1)
-            extras["bsr_nblocks"] = int(Bs.nblocks)
-            log(t)
-
-            xb = Bd[:, 0]
-            t = measure_device_loop(
-                lambda c, Bs: norm(bsr_spmv(Bs, c)), xb, (Bs,), name="bsr_spmv", iters=8
-            )
-            flv = 2.0 * Bs.nblocks * 8 * 128
-            extras["bsr_spmv_ms"] = round(t.median_ms, 3)
-            extras["bsr_spmv_gflops"] = round(flv / (t.median_ms * 1e-3) / 1e9, 1)
-            log(t)
-        except Exception as e:
-            log("bsr bench failed:", repr(e))
-            extras["bsr_error"] = repr(e)[:200]
-
     # --- raw-CSR scatter path (diagnostic; --full only: 2 extra compiles) ---
     if full and gate("raw_csr", 120):
         Ad = A.pad(128).device()
@@ -261,7 +261,7 @@ def bench_kernels(A, P, k, chip, full=False):
     return extras
 
 
-def bench_spgemm(A, chip):
+def bench_spgemm(A, chip, start_scaling=None):
     """Slab-kernel SpGEMM timing: full multiply (plan + stream + numeric),
     device-resident, fenced by a tiny D2H read per phase output."""
     import time as _time
@@ -280,40 +280,29 @@ def bench_spgemm(A, chip):
         np.asarray(outs[-1][3][:1])  # one program: one fence
         return outs
 
-    # warm/compile the cold fused program and the plan program CONCURRENTLY:
-    # compiles run on the remote compile service (not the chip), cost
-    # 100-550 s each on a cold cache, and overlap fully across threads
+    # STRICTLY SEQUENTIAL device use.  Overlapping the cold run with the
+    # plan build on two threads was measured to DEADLOCK the axon tunnel:
+    # two in-flight executions stall until a ~600 s relay timeout releases
+    # both (repro 2026-08-19: cold run 601 s threaded vs 245 ms serialized,
+    # with a fully warm compile cache).  Sequential cold-cache compiles are
+    # slower than overlapped ones, but every metric below is written through
+    # to RESULT the moment it exists, so a SIGALRM mid-section still reports
+    # whatever was measured.
     from spmm_tpu.ops.slab_spgemm import spgemm_plan
 
     plan = None
-    want_warm = gate("spgemm_warm", 240)  # 2 extra cold-cache compiles
-
-    def build_and_warm_plan():
-        p = spgemm_plan(A, A, A_dev=Ad, B_dev=Ad)
-        o, _, _ = spgemm_slab_device(A, A, plan=p)  # compiles _fused_numeric
-        np.asarray(o[-1][3][:1])
-        return p
-
-    if want_warm:
-        import concurrent.futures as cf
-
-        with cf.ThreadPoolExecutor(2) as ex:
-            fut_cold = ex.submit(run)
-            fut_plan = ex.submit(build_and_warm_plan)
-            outs = fut_cold.result()
-            try:
-                plan = fut_plan.result()
-            except Exception as e:
-                log("spgemm plan build failed:", repr(e))
-                extras["spgemm_warm_error"] = repr(e)[:200]
-    else:
-        outs = run()  # warm/compile
+    outs = run()  # warm/compile
     times = []
     for _ in range(5):
         t0 = _time.perf_counter()
         outs = run()
         times.append((_time.perf_counter() - t0) * 1e3)
     ms = min(times)
+    if start_scaling is not None:
+        # the CPU-mesh scaling subprocess steals ~50 ms/run from the cold
+        # timing's host sizing pass on this 1-CPU host — launch it only
+        # after the cold loop (the sections below are device-bound)
+        start_scaling()
     out_nnz = int(sum(int(np.asarray(o[3]).sum()) for o in outs))
     rl = spgemm_roofline(expand, A.nnz, A.nnz, out_nnz, chip=chip)
     log(f"spgemm_slab: {ms:.1f} ms, out_nnz={out_nnz}")
@@ -337,10 +326,11 @@ def bench_spgemm(A, chip):
     # re-execute only the numeric chunks — the reference's whole premise is
     # preprocess-once / multiply-many (SURVEY.md §0), and this is the SpGEMM
     # analog (cuSPARSE-style reuse: same structure, repeated products)
-    if plan is not None and gate("spgemm_warm_run", 150):
+    if gate("spgemm_warm_run", 200):  # 2 extra cold-cache compiles
         try:
-            # steady-state plan-build time (program compiled above); min of
-            # 2 — the tunnel's D2H fence occasionally stalls for seconds
+            # plan build (compiles _plan_aligned_device on a cold cache),
+            # then steady-state rebuild time; min of 2 — the tunnel's D2H
+            # fence occasionally stalls for seconds
             pts = []
             for _ in range(2):
                 t0 = _time.perf_counter()
@@ -354,7 +344,7 @@ def bench_spgemm(A, chip):
                 np.asarray(outs[-1][3][:1])
                 return outs
 
-            outs_w = run_warm()  # compiled in the warmup thread above
+            outs_w = run_warm()  # compiles _fused_numeric_aligned
             wnnz = int(sum(int(np.asarray(o[3]).sum()) for o in outs_w))
             assert wnnz == out_nnz, (wnnz, out_nnz)
             times = []
@@ -547,20 +537,26 @@ def main():
     chip = detect_chip()
     RESULT["device"] = getattr(jax.devices()[0], "device_kind", jax.devices()[0].platform)
 
-    scaling_proc = None
-    if not args.no_scaling and gate("scaling", 90):
+    scaling_state: dict = {"proc": None}
+
+    def start_scaling():
+        if scaling_state["proc"] is not None or args.no_scaling:
+            return
+        if not gate("scaling", 90):
+            return
         try:
-            scaling_proc = bench_scaling_start(quick=args.quick)
+            scaling_state["proc"] = bench_scaling_start(quick=args.quick)
         except Exception as e:
             log("scaling launch failed:", repr(e))
             RESULT["scaling_error"] = repr(e)[:200]
 
     if not args.no_spgemm and gate("spgemm", 150):
         try:
-            RESULT.update(bench_spgemm(A, chip))
+            RESULT.update(bench_spgemm(A, chip, start_scaling=start_scaling))
         except Exception as e:
             log("spgemm bench failed:", repr(e))
             RESULT["spgemm_error"] = repr(e)[:200]
+    start_scaling()  # if the spgemm section was skipped or died early
     if not args.no_kernels and gate("kernels", 120):
         try:
             RESULT.update(bench_kernels(A, P, k=128, chip=chip, full=args.full))
@@ -573,9 +569,9 @@ def main():
         except Exception as e:
             log("suite bench failed:", repr(e))
             RESULT["suite_error"] = repr(e)[:200]
-    if scaling_proc is not None:
+    if scaling_state["proc"] is not None:
         try:
-            RESULT.update(bench_scaling_collect(scaling_proc))
+            RESULT.update(bench_scaling_collect(scaling_state["proc"]))
         except Exception as e:
             log("scaling bench failed:", repr(e))
             RESULT["scaling_error"] = repr(e)[:200]
