@@ -60,6 +60,26 @@ def _length_class(lens: np.ndarray, exact_max: int, step: int, max_len: int) -> 
     return np.where(cls > max_len, max_len + 1, cls)
 
 
+def _slab_plan(lens: np.ndarray, exact_max: int, step: int, max_len: int):
+    """Host planning (all nrow-scale): length-sorted permutation, the
+    [empty][slabs...][leftover] layout, and per-slab row ranges.
+    Returns (perm, n_empty, slabs=[(L, lo, hi), ...], lo_rest)."""
+    m = len(lens)
+    cls = _length_class(lens, exact_max, step, max_len)
+    perm = np.lexsort((np.arange(m), lens, cls))
+    cls_s = cls[perm]
+    n_empty = int(np.searchsorted(cls_s, 0, side="right"))
+    slabs = []
+    for L in np.unique(cls_s):
+        if L == 0 or L > max_len:
+            continue
+        lo = int(np.searchsorted(cls_s, L, side="left"))
+        hi = int(np.searchsorted(cls_s, L, side="right"))
+        slabs.append((int(L), lo, hi))
+    lo_rest = int(np.searchsorted(cls_s, max_len + 1, side="left"))
+    return perm, n_empty, slabs, lo_rest
+
+
 def ell_pack(A: CSR, *, exact_max: int = 64, step: int = 32, max_len: int = 2048) -> ELL:
     """Host packing: sort rows by slab width; one dense slab per distinct
     width (padding factor ~1.1 on power-law graphs); rows longer than
@@ -71,18 +91,11 @@ def ell_pack(A: CSR, *, exact_max: int = 64, step: int = 32, max_len: int = 2048
     indices = np.asarray(h.indices[: A.nnz], dtype=np.int64)
     dat = np.asarray(h.data[: A.nnz])
 
-    cls = _length_class(lens, exact_max, step, max_len)
-    perm = np.lexsort((np.arange(m), lens, cls))
-    cls_s = cls[perm]
-    n_empty = int(np.searchsorted(cls_s, 0, side="right"))
+    perm, n_empty, slabs, lo_rest = _slab_plan(lens, exact_max, step, max_len)
 
     data_slabs, col_slabs = [], []
-    for L in np.unique(cls_s):
-        if L == 0 or L > max_len:
-            continue
-        lo = int(np.searchsorted(cls_s, L, side="left"))
-        hi = int(np.searchsorted(cls_s, L, side="right"))
-        R, L = hi - lo, int(L)
+    for L, lo, hi in slabs:
+        R = hi - lo
         rows_here = perm[lo:hi]
         slab_d = np.zeros((R, L), dtype=dat.dtype)
         slab_c = np.zeros((R, L), dtype=np.int64)
@@ -97,8 +110,7 @@ def ell_pack(A: CSR, *, exact_max: int = 64, step: int = 32, max_len: int = 2048
         col_slabs.append(slab_c.astype(np.int32))
 
     # leftover long rows -> padded CSR in sorted order
-    lo = int(np.searchsorted(cls_s, max_len + 1, side="left"))
-    rest_rows = perm[lo:]
+    rest_rows = perm[lo_rest:]
     n_rest = len(rest_rows)
     if n_rest:
         ln = lens[rest_rows]
@@ -131,6 +143,111 @@ def ell_pack(A: CSR, *, exact_max: int = 64, step: int = 32, max_len: int = 2048
         rest=rest,
         perm=perm.astype(np.int32),
         inv_perm=inv.astype(np.int32),
+        shape=(m, n),
+        nnz=A.nnz,
+        n_empty=n_empty,
+        n_rest_rows=n_rest,
+    )
+
+
+# ---------------------------------------------------------------------------
+# device packing — for device-resident CSRs (e.g. SpGEMM outputs)
+# ---------------------------------------------------------------------------
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("shapes",))
+def _ell_gather_dev(indices, data, ptrs, lns, *, shapes):
+    """All slab gathers in ONE compiled program: slab (R, L) reads row r's
+    nonzeros at indices[ptr[r] : ptr[r]+L], masked past the row length."""
+    import jax.numpy as jnp
+
+    cols_t, data_t = [], []
+    for (R, L), ptr, ln in zip(shapes, ptrs, lns):
+        pos = jnp.arange(L, dtype=jnp.int32)
+        mask = pos[None, :] < ln[:, None]
+        src = jnp.where(mask, ptr[:, None] + pos[None, :], 0)
+        cols_t.append(jnp.where(mask, indices[src], 0).astype(jnp.int32))
+        data_t.append(jnp.where(mask, data[src], jnp.zeros((), data.dtype)))
+    return tuple(cols_t), tuple(data_t)
+
+
+@_functools.partial(jax.jit, static_argnames=("nnz_pad",))
+def _rest_gather_dev(indices, data, row_ptr, rest_indptr, *, nnz_pad):
+    """Leftover-row CSR gather: destination position -> source nonzero via
+    searchsorted over the (small) leftover indptr — no nnz-scale host work."""
+    import jax.numpy as jnp
+
+    pos = jnp.arange(nnz_pad, dtype=jnp.int32)
+    r_of = jnp.clip(
+        jnp.searchsorted(rest_indptr, pos, side="right") - 1,
+        0, row_ptr.shape[0] - 1,
+    ).astype(jnp.int32)
+    live = pos < rest_indptr[-1]
+    src = jnp.where(live, row_ptr[r_of] + pos - rest_indptr[r_of], 0)
+    return (
+        jnp.where(live, data[src], jnp.zeros((), data.dtype)),
+        jnp.where(live, indices[src], 0).astype(jnp.int32),
+    )
+
+
+def ell_pack_device(
+    A: CSR, *, exact_max: int = 64, step: int = 32, max_len: int = 2048
+) -> ELL:
+    """ELL pack of a DEVICE-resident CSR (e.g. a chained SpGEMM output,
+    ops.spgemm_slab_csr): only the (nrow+1,) indptr is pulled to host — the
+    slab planning is nrow-scale — and every nnz-scale gather runs on device
+    in one compiled program per phase.  This closes the chain
+    C = A@B (device CSR) -> SpMM/SpMV at ELL speed without the nnz-scale
+    host round-trip that per-multiply transfers cost on the remote tunnel
+    (DESIGN.md §1).  Same layout contract as :func:`ell_pack`."""
+    import jax.numpy as jnp
+
+    m, n = A.shape
+    indptr = np.asarray(A.indptr, dtype=np.int64)  # nrow-scale D2H only
+    lens = indptr[1:] - indptr[:-1]
+    perm, n_empty, slabs, lo_rest = _slab_plan(lens, exact_max, step, max_len)
+
+    shapes = tuple((hi - lo, L) for (L, lo, hi) in slabs)
+    ptrs = tuple(jnp.asarray(indptr[perm[lo:hi]], jnp.int32) for (L, lo, hi) in slabs)
+    lns = tuple(jnp.asarray(lens[perm[lo:hi]], jnp.int32) for (L, lo, hi) in slabs)
+    cols_t, data_t = _ell_gather_dev(A.indices, A.data, ptrs, lns, shapes=shapes)
+
+    rest_rows = perm[lo_rest:]
+    n_rest = len(rest_rows)
+    if n_rest:
+        ln = lens[rest_rows]
+        rest_indptr = np.zeros(n_rest + 1, dtype=np.int64)
+        np.cumsum(ln, out=rest_indptr[1:])
+        rest_nnz = int(rest_indptr[-1])
+        nnz_pad = -(-rest_nnz // 8) * 8
+        rd, ri = _rest_gather_dev(
+            A.indices, A.data,
+            jnp.asarray(indptr[rest_rows], jnp.int32),
+            jnp.asarray(rest_indptr, jnp.int32),
+            nnz_pad=nnz_pad,
+        )
+        rest = CSR(
+            data=rd, indices=ri,
+            indptr=jnp.asarray(rest_indptr, jnp.int32),
+            shape=(n_rest, n), nnz=rest_nnz,
+        )
+    else:
+        rest = CSR(
+            data=jnp.zeros(1, A.data.dtype),
+            indices=jnp.zeros(1, jnp.int32),
+            indptr=jnp.zeros(2, jnp.int32),
+            shape=(1, n), nnz=0,
+        )
+
+    inv = np.empty(m, dtype=np.int64)
+    inv[perm] = np.arange(m)
+    return ELL(
+        data=data_t,
+        cols=cols_t,
+        rest=rest,
+        perm=jnp.asarray(perm, jnp.int32),
+        inv_perm=jnp.asarray(inv, jnp.int32),
         shape=(m, n),
         nnz=A.nnz,
         n_empty=n_empty,

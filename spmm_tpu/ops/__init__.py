@@ -1,6 +1,12 @@
 from spmm_tpu.ops.spmm import spmm, spmv, spmm_xla, spmv_xla
 from spmm_tpu.ops.spgemm import spgemm_sorted, spgemm_coo_padded, spgemm_expand_bound
-from spmm_tpu.ops.slab_spgemm import spgemm_slab, spgemm_slab_device, spgemm_plan, spgemm_slab_csr
+from spmm_tpu.ops.slab_spgemm import (
+    spgemm_slab,
+    spgemm_slab_device,
+    spgemm_plan,
+    spgemm_plan_revalue,
+    spgemm_slab_csr,
+)
 
 # the slab-sorted ESC kernel is the production SpGEMM (batched minor-axis
 # sorts; ~50x the global-sort path on TPU); spgemm_sorted remains as the
@@ -40,6 +46,7 @@ __all__ = [
     "spgemm_slab_device",
     "spgemm_slab_csr",
     "spgemm_plan",
+    "spgemm_plan_revalue",
     "spgemm_coo_padded",
     "spgemm_expand_bound",
     "ell_spmm",

@@ -872,7 +872,7 @@ def spgemm_plan(
                 accum_dtype=accum_dtype, pattern=pattern, b2_ws=b2_ws,
             )
             aligned_accum = str(jnp.dtype(accum_dtype).name)
-    return SpgemmPlan(
+    plan = SpgemmPlan(
         b2_packed=b2_packed,
         pa_packed=pa_packed,
         rowmeta=rowmeta,
@@ -890,6 +890,61 @@ def spgemm_plan(
         aligned_cols=aligned_cols,
         aligned_vals=aligned_vals,
         aligned_accum=aligned_accum,
+    )
+    # structure-only sizing rides along (NOT a pytree field: invisible to
+    # jit, lost across tree flattening) so spgemm_plan_revalue can skip the
+    # O(nnz) host pass when only operand VALUES change
+    object.__setattr__(plan, "_sizing_cache", (A.nnz, B.nnz, sizing))
+    return plan
+
+
+def spgemm_plan_revalue(
+    plan: SpgemmPlan,
+    A: CSR,
+    B: CSR,
+    *,
+    A_dev: CSR | None = None,
+    B_dev: CSR | None = None,
+    pattern: bool | None = None,
+    accum_dtype=None,
+) -> SpgemmPlan:
+    """New plan for NEW VALUES on the SAME sparsity structure — the
+    cuSPARSE-spgemm-reuse analog of the reference's preprocess-once /
+    multiply-many premise (SURVEY.md §0): iterative workloads re-multiply
+    the same structure with updated weights every step.
+
+    The O(nnz) host sizing pass is structure-only, so it is reused from
+    ``plan``; everything value-dependent (B2 value bits, pa value channels,
+    the aligned value blocks) rebuilds through the SAME already-compiled
+    one-dispatch plan program.  The caller guarantees A/B carry exactly the
+    sparsity structure ``plan`` was built from (indptr/indices
+    element-for-element — only nrow/nnz are validated here, like cuSPARSE's
+    reuse contract).  Plans that lost their sizing cache (round-tripped
+    through tree flattening/serialization) fall back to a full re-sizing."""
+    cache = getattr(plan, "_sizing_cache", None)
+    sizing = None
+    if cache is not None:
+        a_nnz, b_nnz, sizing = cache
+        if a_nnz != A.nnz or b_nnz != B.nnz or A.nrow != plan.nrow:
+            raise ValueError(
+                "operand structure differs from the plan's: "
+                f"nnz {A.nnz}/{B.nnz} vs plan {a_nnz}/{b_nnz}, "
+                f"nrow {A.nrow} vs {plan.nrow}"
+            )
+    if accum_dtype is None:
+        accum_dtype = jnp.dtype(plan.aligned_accum or "float32")
+    return spgemm_plan(
+        A,
+        B,
+        classes=plan.classes,
+        seg_w=plan.seg_w,
+        slot_budget=plan.slot_budget,
+        A_dev=A_dev,
+        B_dev=B_dev,
+        pattern=pattern,
+        expand=bool(plan.aligned_cols),
+        accum_dtype=accum_dtype,
+        sizing=sizing,
     )
 
 

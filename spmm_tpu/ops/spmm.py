@@ -64,28 +64,29 @@ _ELL_CACHE: dict = {}  # id(CSR) -> (weakref, device ELL)
 
 
 def _ell_of(A: CSR):
-    """Memoized ELL pack of a host CSR (weakly keyed by instance)."""
+    """Memoized ELL pack of a CSR (weakly keyed by instance).  Host CSRs
+    pack on host; device CSRs (e.g. chained SpGEMM outputs) pack via
+    ell_pack_device — nnz-scale data never crosses the host boundary."""
     import weakref
+
+    import numpy as np
 
     key = id(A)
     ent = _ELL_CACHE.get(key)
     if ent is not None and ent[0]() is A:
         return ent[1]
-    from spmm_tpu.formats.ell import ell_pack
+    from spmm_tpu.formats.ell import ell_pack, ell_pack_device
 
-    E = ell_pack(A).device()
+    if isinstance(A.data, np.ndarray):
+        E = ell_pack(A).device()
+    else:
+        E = ell_pack_device(A)
     _ELL_CACHE[key] = (weakref.ref(A, lambda r, k=key: _ELL_CACHE.pop(k, None)), E)
     return E
 
 
 def _auto_ell(A) -> bool:
-    import numpy as np
-
-    return (
-        isinstance(A, CSR)
-        and A.nnz >= AUTO_ELL_THRESHOLD
-        and isinstance(A.data, np.ndarray)  # device CSRs are not pulled back
-    )
+    return isinstance(A, CSR) and A.nnz >= AUTO_ELL_THRESHOLD
 
 
 def spmm(A, B: jax.Array, **kw) -> jax.Array:

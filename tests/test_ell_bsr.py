@@ -196,3 +196,54 @@ def test_bf16_operands_supported():
     )
     assert Yb.dtype == np.float32  # preferred_element_type accumulation
     assert np.abs(Yb - refb).max() / max(np.abs(refb).max(), 1e-9) < 2e-2
+
+
+def test_ell_pack_device_matches_host():
+    """ell_pack_device on a device-resident CSR: same multiply results as
+    the host pack (incl. the leftover-CSR path), only the (nrow+1,) indptr
+    crosses to host."""
+    from spmm_tpu.formats.ell import ell_pack_device
+
+    A = webgraph_like(1200, 9600, seed=21)
+    Ad = A.device()
+    # small max_len forces leftover rows so the rest-gather path is covered
+    E1 = ell_pack(A, max_len=64).device()
+    E2 = ell_pack_device(Ad, max_len=64)
+    assert E2.n_rest_rows == E1.n_rest_rows > 0
+    assert E2.padded_nnz == E1.padded_nnz
+    B = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1200, 16)).astype(np.float32)
+    )
+    y1 = np.asarray(ell_spmm(E1, B))
+    y2 = np.asarray(ell_spmm(E2, B))
+    np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(y2, A.to_scipy() @ np.asarray(B), rtol=1e-4, atol=1e-4)
+
+
+def test_spgemm_output_chains_to_ell_spmv(monkeypatch):
+    """Full device chain: C = A@A (device CSR, spgemm_slab_csr) -> the
+    spmv dispatcher auto-packs C via ell_pack_device — the HOST pack must
+    never run (no nnz-scale D2H) — and the result matches scipy."""
+    import importlib
+
+    import spmm_tpu.formats.ell as ell_mod
+    from spmm_tpu.ops.slab_spgemm import spgemm_slab_csr
+
+    # ops.__init__ rebinds the name `spmm` to the function; fetch the module
+    spmm_mod = importlib.import_module("spmm_tpu.ops.spmm")
+
+    A = webgraph_like(900, 5400, seed=22)
+    Cd = spgemm_slab_csr(A, A)
+    assert not isinstance(Cd.data, np.ndarray)  # device-resident
+
+    def boom(*a, **k):
+        raise AssertionError("host ell_pack must not run on a device CSR")
+
+    monkeypatch.setattr(ell_mod, "ell_pack", boom)
+    monkeypatch.setattr(spmm_mod, "AUTO_ELL_THRESHOLD", 1)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal(900).astype(np.float32)
+    )
+    y = np.asarray(spmm_mod.spmv(Cd, x))
+    ref_C = (A.to_scipy() @ A.to_scipy()).tocsr()
+    np.testing.assert_allclose(y, ref_C @ np.asarray(x), rtol=1e-4, atol=1e-4)

@@ -302,3 +302,65 @@ def test_auto_plan_reuse():
     finally:
         ss.AUTO_PLAN_MIN_NNZ = old_min
         ss._PLAN_SEEN.clear(); ss._PLAN_CACHE.clear()
+
+
+def test_plan_revalue_new_values(monkeypatch):
+    """spgemm_plan_revalue: same structure, new values (the cuSPARSE
+    spgemm-reuse workload; the reference's preprocess-once premise,
+    SURVEY.md §0).  The structure-only host sizing pass must NOT re-run —
+    it is reused from the original plan — and the re-valued plan's numeric
+    execution is exact for the new values."""
+    import dataclasses as _dc
+
+    from spmm_tpu.ops import slab_spgemm as ss
+
+    A0 = webgraph_like(1500, 9000, seed=12)
+
+    def with_vals(seed):
+        r = np.random.default_rng(seed)
+        return _dc.replace(
+            A0, data=r.standard_normal(np.asarray(A0.data).shape).astype(np.float32)
+        )
+
+    def run(plan, M, N):
+        outs, tails, _ = ss.spgemm_slab_device(M, N, plan=plan)
+        rows, cols, vals = ss._pull_chunks(outs)
+        if len(tails):
+            tr, tc, tv = ss._tail_products(
+                M.host(), np.asarray(tails, np.int64), N.host(), np.float32
+            )
+            rows.append(tr)
+            cols.append(tc)
+            vals.append(tv)
+        return ss._assemble_csr(
+            np.concatenate(rows), np.concatenate(cols), np.concatenate(vals),
+            (M.nrow, N.ncol),
+        )
+
+    A1, B1 = with_vals(1), with_vals(2)
+    plan1 = ss.spgemm_plan(A1, B1)
+    _check(run(plan1, A1, B1), _oracle(A1.to_scipy(), B1.to_scipy()))
+
+    A2, B2 = with_vals(3), with_vals(4)
+
+    def boom(*a, **k):
+        raise AssertionError("host sizing must not re-run on revalue")
+
+    monkeypatch.setattr(ss, "_sizing", boom)
+    plan2 = ss.spgemm_plan_revalue(plan1, A2, B2)
+    monkeypatch.undo()
+    _check(run(plan2, A2, B2), _oracle(A2.to_scipy(), B2.to_scipy()))
+
+    # a pattern-mode original plan revalues into value mode the same way
+    plan_p = ss.spgemm_plan(A0, A0)
+    assert plan_p.pattern
+    monkeypatch.setattr(ss, "_sizing", boom)
+    plan_v = ss.spgemm_plan_revalue(plan_p, A1, B1)
+    monkeypatch.undo()
+    assert not plan_v.pattern
+    _check(run(plan_v, A1, B1), _oracle(A1.to_scipy(), B1.to_scipy()))
+
+    # structure mismatch is rejected
+    bad = webgraph_like(1500, 9600, seed=13)
+    with pytest.raises(ValueError):
+        ss.spgemm_plan_revalue(plan1, bad, bad)
