@@ -191,9 +191,16 @@ def test_spmv_auto_ell_pack_and_memoize():
         np.testing.assert_allclose(y1, A.to_scipy() @ x, rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(y2, y1)
         np.testing.assert_allclose(Y, A.to_scipy() @ B, rtol=1e-4, atol=1e-4)
-        # device-resident CSRs are never pulled back for packing
+        # device-resident CSRs auto-pack too — via ell_pack_device, so
+        # nnz-scale data never crosses the host boundary (the pack's leaves
+        # must come out as device arrays, not numpy)
         Ad = A.pad(8).device()
-        assert not sp._auto_ell(Ad)
+        assert sp._auto_ell(Ad)
+        Ed = sp._ell_of(Ad)
+        import jax
+
+        leaves = jax.tree.leaves((Ed.data, Ed.cols))
+        assert leaves and all(isinstance(l, jax.Array) for l in leaves)
     finally:
         sp.AUTO_ELL_THRESHOLD = old_thresh
 
