@@ -1627,6 +1627,7 @@ def spgemm_slab(
     accum_dtype=jnp.float32,
     as_csr: bool = True,
     pattern: bool | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """C = A @ B via per-row-class batched slab sorts (exact: duplicate
     columns merged, rows ascending, columns sorted within rows).
@@ -1664,6 +1665,7 @@ def spgemm_slab(
         out = spgemm_slab_big(
             A, B, classes=classes, seg_w=seg_w, slot_budget=slot_budget,
             accum_dtype=accum_dtype, pattern=pattern, pieces_hint=hint,
+            checkpoint_dir=checkpoint_dir,
         )
         if as_csr:
             return out
@@ -1793,6 +1795,75 @@ def _piece_exec(
     return rows_sorted, outs
 
 
+class _BigCheckpoint:
+    """Piece-granular checkpoint/resume for :func:`spgemm_slab_big`.
+
+    The reference has NO checkpoint/resume at all (SURVEY.md §5 — it even
+    leaks its preprocessing outputs); here the >=100M-nnz streamed products
+    run for minutes through a remote device, so each completed piece's CSR
+    triple is persisted (one .npz per piece) and a manifest pins the product
+    it belongs to.  A re-run with the same ``checkpoint_dir`` skips finished
+    pieces; a manifest mismatch (different operands/config) raises rather
+    than silently mixing two products."""
+
+    def __init__(self, path, A, B, P, classes, W, slot_budget, accum, pattern):
+        import json
+        import os
+
+        self.dir = path
+        os.makedirs(path, exist_ok=True)
+        manifest = {
+            "fingerprint": list(_operand_fingerprint(A, B)),
+            "shape_a": list(A.shape),
+            "shape_b": list(B.shape),
+            "pieces": int(P),
+            "classes": list(classes),
+            "seg_w": int(W),
+            "slot_budget": int(slot_budget),
+            "accum_dtype": accum,
+            "pattern": bool(pattern),
+        }
+        mpath = os.path.join(path, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                prev = json.load(f)
+            if prev != manifest:
+                raise ValueError(
+                    f"checkpoint dir {path!r} holds a different product/config "
+                    "(manifest mismatch); point at a fresh directory"
+                )
+        else:
+            with open(mpath, "w") as f:
+                json.dump(manifest, f)
+
+    def _piece_path(self, p: int) -> str:
+        import os
+
+        return os.path.join(self.dir, f"piece_{p:05d}.npz")
+
+    def load(self, p: int):
+        import os
+
+        fp = self._piece_path(p)
+        if not os.path.exists(fp):
+            return None
+        try:
+            with np.load(fp) as z:
+                return (z["data"], z["indices"], z["indptr"])
+        except Exception:  # torn write (crash mid-save): recompute the piece
+            os.remove(fp)
+            return None
+
+    def save(self, p: int, triple) -> None:
+        import os
+
+        fp = self._piece_path(p)
+        tmp = fp + ".tmp.npz"  # np.savez appends .npz to bare names
+        data, indices, indptr = triple
+        np.savez(tmp, data=data, indices=indices, indptr=indptr)
+        os.replace(tmp, fp)  # atomic: a crash never leaves a torn piece file
+
+
 def spgemm_slab_big(
     A: CSR,
     B: CSR,
@@ -1804,6 +1875,7 @@ def spgemm_slab_big(
     slot_budget: int = DEFAULT_SLOT_BUDGET,
     accum_dtype=jnp.float32,
     pattern: bool | None = None,
+    checkpoint_dir: str | None = None,
 ) -> CSR:
     """C = A @ B for products whose padded expansion exceeds the single-call
     budget (the >=100M-nnz regime, BASELINE config 5 single-chip analog).
@@ -1812,7 +1884,11 @@ def spgemm_slab_big(
     program (:func:`_piece_exec`) with per-piece runtime scalars, outputs are
     pulled and freed piece by piece, so both compile count and device peak
     stay piece-sized.  ``pieces`` defaults to the smallest power of two whose
-    largest piece fits ``_MAX_EXP_PAD`` padded slots."""
+    largest piece fits ``_MAX_EXP_PAD`` padded slots.
+
+    ``checkpoint_dir``: persist each completed piece and resume a killed run
+    from the last finished piece (see :class:`_BigCheckpoint`).  The caller
+    owns the directory's lifetime (delete it after the product is consumed)."""
     from spmm_tpu.parallel.partition import partition_rows
     from spmm_tpu.parallel.spgemm_spmd import _per_shard_sizing, _uniform_schedule
 
@@ -1880,9 +1956,22 @@ def spgemm_slab_big(
     # host masking, and the final CSR is a plain concatenation (pieces are
     # ordered row blocks).  Tail-bearing pieces take the masked path + a
     # local counting sort.
+    ckpt = (
+        _BigCheckpoint(
+            checkpoint_dir, A, B, P, classes, W, slot_budget,
+            str(jnp.dtype(accum_dtype).name), pattern,
+        )
+        if checkpoint_dir is not None
+        else None
+    )
     nnz_pad_piece = _round_up(npa_max * W, 1024)
     piece_csrs = []
     for p in range(P):
+        if ckpt is not None:
+            got = ckpt.load(p)
+            if got is not None:
+                piece_csrs.append(got)
+                continue
         rows_sorted, outs = _piece_exec(
             jnp.asarray(s_iptr[p], jnp.int32),
             jnp.asarray(s_ind[p], jnp.int32),
@@ -1902,6 +1991,8 @@ def spgemm_slab_big(
                     np.zeros(rows_pad + 1, np.int64),
                 )
             )
+            if ckpt is not None:
+                ckpt.save(p, piece_csrs[-1])
             del rows_sorted
             continue
         if nt == 0:
@@ -1921,6 +2012,8 @@ def spgemm_slab_big(
                     np.asarray(indptr, np.int64),
                 )
             )
+            if ckpt is not None:
+                ckpt.save(p, piece_csrs[-1])
             del data, indices, indptr, rows_sorted, outs
             continue
 
@@ -1950,6 +2043,8 @@ def spgemm_slab_big(
                 np.asarray(Cp.indptr, np.int64),
             )
         )
+        if ckpt is not None:
+            ckpt.save(p, piece_csrs[-1])
 
     # stitch ordered row-block CSRs; crop padded rows past A.nrow
     datas = [c[0] for c in piece_csrs]

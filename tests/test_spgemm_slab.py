@@ -225,6 +225,58 @@ def test_big_path_with_tail_rows(monkeypatch):
     _check(C, _oracle(A, A))
 
 
+def test_big_path_checkpoint_resume(monkeypatch, tmp_path):
+    """Piece-granular checkpoint/resume on the streamed big path (SURVEY.md
+    §5: the reference has no checkpoint/resume at all): a second run with the
+    same checkpoint dir recomputes NO pieces; deleting one piece file
+    recomputes exactly that piece; a different product in the same dir is
+    refused (manifest guard)."""
+    import pytest
+
+    import spmm_tpu.ops.slab_spgemm as mod
+
+    monkeypatch.setattr(mod, "_MAX_EXP_PAD", 4096)
+    A = webgraph_like(1000, 6000, seed=14)
+    ref = _oracle(A.to_scipy(), A.to_scipy())
+
+    ckdir = str(tmp_path / "ck")
+    calls = []
+    orig_exec = mod._piece_exec
+
+    def counting_exec(*a, **k):
+        calls.append(1)
+        return orig_exec(*a, **k)
+
+    monkeypatch.setattr(mod, "_piece_exec", counting_exec)
+
+    C1 = mod.spgemm_slab(A, A, checkpoint_dir=ckdir)
+    _check(C1, ref)
+    n_pieces = len(calls)
+    assert n_pieces >= 2  # the tiny budget forces a real split
+
+    # full resume: every piece served from disk
+    calls.clear()
+    C2 = mod.spgemm_slab(A, A, checkpoint_dir=ckdir)
+    _check(C2, ref)
+    assert calls == []
+
+    # partial resume: drop one piece file -> exactly one recompute
+    import glob
+    import os
+
+    victim = sorted(glob.glob(os.path.join(ckdir, "piece_*.npz")))[1]
+    os.remove(victim)
+    calls.clear()
+    C3 = mod.spgemm_slab(A, A, checkpoint_dir=ckdir)
+    _check(C3, ref)
+    assert len(calls) == 1
+
+    # manifest guard: a different product in the same dir is refused
+    A2 = webgraph_like(1000, 6000, seed=15)
+    with pytest.raises(ValueError, match="manifest"):
+        mod.spgemm_slab(A2, A2, checkpoint_dir=ckdir)
+
+
 def test_rmat_axa():
     """Graph500-style RMAT input (heavier skew than the web-graph generator,
     duplicate edges summed at ingest) through the full slab path."""
