@@ -223,16 +223,27 @@ def main():
         from spmm_tpu.ops.pallas_ell import ell_slab_spmm_pallas
         from spmm_tpu.utils.timing import measure_device_loop as mdl
 
-        R, L, n = 65536, 16, 1 << 20  # one mid-size uniform slab
+        # R*L capped by SMEM: the scalar-prefetch cols stream lives in SMEM
+        # (1 MB on v5e — "Allocation (size=4194304) would exceed memory
+        # (size=1048576) ... space=smem" at R*L=1M, 2026-08-20), so the
+        # per-row-DMA kernel can see at most ~256K prefetched indices per
+        # call.  128K keeps headroom; the per-row rate is what's compared.
+        R, L, n = 8192, 16, 1 << 20  # one uniform slab, 128K gathered rows
         cols = jnp.asarray(rng.integers(0, n, (R, L)), jnp.int32)
         dat = jnp.asarray(rng.standard_normal((R, L)).astype(np.float32))
         Bt = jnp.asarray(rng.standard_normal((n, 128)).astype(np.float32))
 
-        def xla_ref(c, cols, dat, Bt):
-            picked = jnp.take(Bt, cols.reshape(-1) + c, axis=0).reshape(R, L, 128)
-            return jnp.einsum("rl,rlk->rk", dat, picked)[0, 0]
+        # carry = the B table itself, a full reduction of each iteration's
+        # output folded back in: chains the data dependence (no LICM/DCE of
+        # the slab product) — the same pattern bench.py's device loops use.
+        # The (n, 128) elementwise rescale costs ~1 ms and is identical in
+        # both variants, so the comparison stays fair.
+        def xla_step(Bc, cols, dat):
+            picked = jnp.take(Bc, cols.reshape(-1), axis=0).reshape(R, L, 128)
+            out = jnp.einsum("rl,rlk->rk", dat, picked)
+            return Bc * (1.0 + 1e-20 * jnp.mean(out))
 
-        t = mdl(xla_ref, jnp.int32(0), (cols, dat, Bt), name="xla_slab", iters=4)
+        t = mdl(xla_step, Bt, (cols, dat), name="xla_slab", iters=4)
         print(f"XLA slab gather+einsum   {t.median_ms:9.3f} ms ({R*L/ (t.median_ms*1e-3)/1e6:.0f} M rows/s)")
 
         from spmm_tpu.ops.pallas_ell import ell_slab_octets_pallas
@@ -242,10 +253,11 @@ def main():
         cols_flat = jnp.asarray(np.clip(c3.reshape(-1), 0, n - 1), jnp.int32)
         a3 = jnp.asarray(np.asarray(dat).reshape(G, 8, L))
 
-        def pk(c, cols_flat, a3, Bt):
-            return ell_slab_octets_pallas(cols_flat, a3, Bt)[0, c]
+        def pl_step(Bc, cols_flat, a3):
+            out = ell_slab_octets_pallas(cols_flat, a3, Bc)
+            return Bc * (1.0 + 1e-20 * jnp.mean(out))
 
-        t = mdl(pk, jnp.int32(0), (cols_flat, a3, Bt), name="pallas_slab", iters=4)
+        t = mdl(pl_step, Bt, (cols_flat, a3), name="pallas_slab", iters=4)
         print(f"Pallas per-row DMA       {t.median_ms:9.3f} ms ({R*L/(t.median_ms*1e-3)/1e6:.0f} M rows/s)")
 
     # ---- H2D upload ----------------------------------------------------------

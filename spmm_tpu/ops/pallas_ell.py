@@ -14,7 +14,15 @@ kernel issues one 512 B DMA per (row, element) â€” 8Â·L descriptors per group â€
 and its throughput is bounded by DMA-descriptor issue rate, not bandwidth.
 It exists to answer SURVEY Â§3.3's "VMEM-staged consumer" question with a
 measured number; the dispatcher never selects it unless it wins.
-DESIGN.md Â§6 records the outcome.
+
+MEASURED OUTCOME (real v5e, r4): 5.87 ms vs the XLA gather's 4.05 ms on the
+same 128K-row uniform slab (22 vs 32 M rows/s) â€” the gather engine wins.
+Two real-Mosaic constraints surfaced that interpret mode does not check:
+(1) dynamically-indexed lane offsets must be provably 128-aligned (the
+value-column extraction is a one-hot mask+reduce for this reason), and
+(2) the scalar-prefetch index stream lives in SMEM (1 MB on v5e), capping
+R*L at ~256K per call â€” which rules this formulation out for production
+slabs independent of its speed.  DESIGN.md Â§6 records the close-out.
 """
 
 from __future__ import annotations
@@ -55,7 +63,15 @@ def _octet_kernel(cols_ref, a_ref, b_hbm, o_ref, scratch, sem, *, L, k):
 
         for r in range(8):
             dma(slot, e, r).wait()
-        vals = a_ref[0, :, pl.ds(e, 1)]  # (8, 1): sublane-aligned broadcast
+        # element e of each row WITHOUT a dynamic lane slice: Mosaic requires
+        # dynamically-indexed lane offsets to be provably 128-aligned
+        # ("cannot statically prove that index in dimension 2 is a multiple
+        # of 128", v5e, 2026-08-20) â€” a one-hot mask + reduce over the (8, L)
+        # value block is the legal spelling, and is trivial next to the DMAs.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        vals = jnp.sum(
+            jnp.where(lane == e, a_ref[0], 0.0), axis=1, keepdims=True
+        )  # (8, 1)
         picked = scratch[slot]  # (8, k)
         return acc + vals * picked
 
