@@ -79,7 +79,7 @@ def process_matrix(path: str, args) -> dict:
         from spmm_tpu.ops import spgemm
 
         t0 = time.perf_counter()
-        C = spgemm(A, A)
+        C = spgemm(A, A, checkpoint_dir=args.checkpoint_dir)
         out["spgemm_ms"] = (time.perf_counter() - t0) * 1e3
         out["spgemm_out_nnz"] = C.nnz
         if args.check:
@@ -103,6 +103,9 @@ def main(argv=None) -> int:
     ap.add_argument("--section-size", type=int, default=2048)
     ap.add_argument("--spmm", type=int, metavar="K", help="run SpMM with a random (n, K) RHS")
     ap.add_argument("--spgemm", action="store_true", help="run SpGEMM A@A")
+    ap.add_argument("--checkpoint-dir", default=None, metavar="DIR",
+                    help="piece-granular checkpoint/resume for huge SpGEMM "
+                    "products (killed runs resume at the last finished piece)")
     ap.add_argument("--check", action="store_true", help="verify against scipy")
     ap.add_argument("--save-format", action="store_true", help="persist the packed format")
     args = ap.parse_args(argv)
