@@ -112,6 +112,27 @@ def test_pagerank_example_matches_dense():
     np.testing.assert_allclose(ranks, x, rtol=5e-3, atol=1e-6)
 
 
+def test_bfs_example_matches_scipy():
+    """examples/bfs.py vs scipy.sparse.csgraph BFS distances."""
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from bfs import bfs
+
+    from spmm_tpu.formats.synthetic import webgraph_like
+
+    A = webgraph_like(400, 2400, seed=13)
+    dist, levels = bfs(A, 0)
+    dist = np.asarray(dist)
+
+    from scipy.sparse.csgraph import shortest_path
+
+    ref = shortest_path(A.to_scipy(), method="D", unweighted=True, indices=0)
+    ref_i = np.where(np.isinf(ref), -1, ref).astype(np.int32)
+    np.testing.assert_array_equal(dist, ref_i)
+    assert levels == int(ref_i.max())
+
+
 def test_add_empty_operands():
     """Regression: add() crashed when both operands were empty."""
     import scipy.sparse as sp
