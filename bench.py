@@ -66,20 +66,39 @@ def time_left() -> float:
 
 def emit():
     """Print the JSON line exactly once, whatever state we reached.
-    Thread-safe: called from main, signal handlers, and the watchdog."""
+    Called from main, signal handlers (which run ON the main thread), and
+    the watchdog thread.  Three deliberate choices:
+
+    - serialization AND the print stay inside the critical section, and
+      ``_emitted`` flips only AFTER the print: an exiting caller (watchdog /
+      signal handler running os._exit right after a no-op emit) can only
+      see ``_emitted`` once the line is fully on stdout;
+    - the lock acquire is TIMED: a signal handler interrupting the main
+      thread mid-emit would self-deadlock on an untimed lock (handlers run
+      on the holder's own thread) — after 10 s we proceed without the lock,
+      preferring a possible duplicate line over no line;
+    - a minimal headline line is pre-built so even if every full-dict
+      serialization attempt loses the race against a mutating main thread,
+      something valid prints."""
     global _emitted
-    with _emit_lock:
+    acquired = _emit_lock.acquire(timeout=10.0)
+    try:
         if _emitted:
             return
+        RESULT["bench_wall_s"] = round(time.monotonic() - T0, 1)
+        line = json.dumps({"metric": RESULT["metric"], "value": RESULT["value"],
+                           "unit": RESULT["unit"], "vs_baseline": RESULT["vs_baseline"]})
+        for _ in range(3):  # main thread may mutate RESULT concurrently
+            try:
+                line = json.dumps(dict(RESULT))
+                break
+            except RuntimeError:
+                continue
+        print(line, flush=True)
         _emitted = True
-    RESULT["bench_wall_s"] = round(time.monotonic() - T0, 1)
-    for _ in range(3):  # main thread may mutate RESULT concurrently
-        try:
-            line = json.dumps(dict(RESULT))
-            break
-        except RuntimeError:
-            continue
-    print(line, flush=True)
+    finally:
+        if acquired:
+            _emit_lock.release()
 
 
 def _on_signal(signum, frame):

@@ -1654,6 +1654,17 @@ def spgemm_slab(
     classes_n = tuple(sorted({_round_up(c, W) for c in classes}))
     try:
         sizing = _sizing(A, B, W, classes_n)
+        if checkpoint_dir is not None:
+            # checkpointing is piece-granular and only engages on the
+            # streamed big path; a product that fits one call has no pieces
+            # to persist — say so instead of silently ignoring the flag
+            import warnings
+
+            warnings.warn(
+                "checkpoint_dir ignored: product fits a single call (no "
+                "pieces to checkpoint); only >=budget streamed products "
+                "resume", stacklevel=2,
+            )
     except _ExpansionTooLarge as e:
         # huge products: uniform row pieces through ONE compiled program
         # (recursive halving would recompile per piece size).  Start the
@@ -1813,7 +1824,9 @@ class _BigCheckpoint:
         self.dir = path
         os.makedirs(path, exist_ok=True)
         manifest = {
-            "fingerprint": list(_operand_fingerprint(A, B)),
+            # repr-strings, not floats: NaN in operand data would make the
+            # JSON round-trip compare NaN != NaN and refuse a valid resume
+            "fingerprint": [repr(x) for x in _operand_fingerprint(A, B)],
             "shape_a": list(A.shape),
             "shape_b": list(B.shape),
             "pieces": int(P),
@@ -1824,17 +1837,30 @@ class _BigCheckpoint:
             "pattern": bool(pattern),
         }
         mpath = os.path.join(path, "manifest.json")
+        prev = None
         if os.path.exists(mpath):
-            with open(mpath) as f:
-                prev = json.load(f)
+            try:
+                with open(mpath) as f:
+                    prev = json.load(f)
+            except ValueError:
+                prev = None  # torn write (crash mid-manifest): rewrite below
+        if prev is not None:
             if prev != manifest:
                 raise ValueError(
                     f"checkpoint dir {path!r} holds a different product/config "
                     "(manifest mismatch); point at a fresh directory"
                 )
         else:
-            with open(mpath, "w") as f:
+            # no (or torn) manifest: any piece files present are unattributable
+            # — drop them rather than resume from unknown provenance
+            import glob
+
+            for fp in glob.glob(os.path.join(path, "piece_*.npz")):
+                os.remove(fp)
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(manifest, f)
+            os.replace(tmp, mpath)  # atomic, like the piece files
 
     def _piece_path(self, p: int) -> str:
         import os
