@@ -278,7 +278,11 @@ def bench_kernels(A, P, k, chip, full=False):
         )
         record("spmv_csr", t, fl=2.0 * A.nnz, sol=rlv)
         extras["spmv_csr_gnnz_per_s"] = round(A.nnz / (t.median_ms * 1e-3) / 1e9, 3)
-    if gate("spmm_csr_k128", 60):
+    # spmm_csr_k128 is the dispatcher running the SAME cached ELL pack
+    # through the SAME kernel as spmm_ell_k128 (48.6 vs 48.7 ms every
+    # capture) — its ~60 s of warm-cache program load was what squeezed the
+    # matrix suite out of the budget, so it's diagnostic-only now
+    if full and gate("spmm_csr_k128", 60):
         t = measure_device_loop(
             lambda c, Ed: norm(ell_spmm(Ed, c)), B0, (Ed,), name="spmm_csr_k128", iters=8
         )
@@ -487,7 +491,7 @@ def bench_suite(cfg):
     for name, (n, nnz) in SUITE.items():
         if name == "web-Google":
             continue
-        if not gate(f"suite:{name}", 120):
+        if not gate(f"suite:{name}", 55):
             break
         A = webgraph_like(n, nnz, seed=1)
         pre_ms, _ = bench_preprocess(A, cfg, iters=3)
@@ -615,7 +619,7 @@ def main():
         except Exception as e:  # keep the headline alive on kernel failure
             log("kernel bench failed:", repr(e))
             RESULT["kernel_error"] = repr(e)[:200]
-    if not args.no_suite and not args.quick and gate("suite", 150):
+    if not args.no_suite and not args.quick and gate("suite", 110):
         try:
             RESULT.update(bench_suite(cfg))
         except Exception as e:
