@@ -18,6 +18,14 @@ from spmm_tpu.formats.bsr import BSR
 from spmm_tpu.formats.containers import COO, CSR, BlockedCSR
 from spmm_tpu.formats.ell import ELL
 
+
+def _types():
+    # lazy: ops pulls in jax-heavy modules; only needed at save/load time
+    from spmm_tpu.ops.slab_spgemm import SpgemmPlan
+
+    return {c.__name__: c for c in (COO, CSR, BSR, BlockedCSR, ELL, SpgemmPlan)}
+
+
 _TYPES = {c.__name__: c for c in (COO, CSR, BSR, BlockedCSR, ELL)}
 
 
@@ -55,18 +63,22 @@ def _unflatten(cls, prefix, arrays, meta):
 
 
 def save(path, obj) -> None:
-    """Save any spmm_tpu container (COO/CSR/BSR/BlockedCSR/ELL) to .npz."""
+    """Save any spmm_tpu container (COO/CSR/BSR/BlockedCSR/ELL) — or a
+    ``SpgemmPlan`` (preprocess-once / multiply-in-another-process, the
+    reference's premise applied to the two-phase SpGEMM) — to .npz."""
     arrays, meta = {}, {"__type": type(obj).__name__}
     _flatten(jax_to_host(obj), "", arrays, meta)
     np.savez_compressed(path, __meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8), **arrays)
 
 
 def load(path):
-    """Load a container saved with ``save``."""
+    """Load a container saved with ``save``.  Arrays come back as numpy;
+    ``jax.tree.map(jnp.asarray, obj)`` moves a loaded plan/container to the
+    device once for steady-state reuse."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta"].tobytes()).decode())
         arrays = {k: z[k] for k in z.files if k != "__meta"}
-    return _unflatten(_TYPES[meta["__type"]], "", arrays, meta)
+    return _unflatten(_types()[meta["__type"]], "", arrays, meta)
 
 
 def jax_to_host(obj):

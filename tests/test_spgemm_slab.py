@@ -312,6 +312,37 @@ def test_plan_aligned_cache_parity():
                 assert np.array_equal(np.asarray(x1), np.asarray(x2))
 
 
+def test_plan_serialize_roundtrip(tmp_path):
+    """A SpgemmPlan survives save/load (utils.serialize) and a loaded plan
+    executes in a fresh context with bit-identical chunk outputs — the
+    preprocess-once / multiply-in-another-process contract (the reference's
+    whole premise, SURVEY.md §0, applied to the two-phase SpGEMM)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spmm_tpu.ops.slab_spgemm import spgemm_plan, spgemm_slab_device
+    from spmm_tpu.utils.serialize import load, save
+
+    A = webgraph_like(1100, 6600, seed=17)
+    plan = spgemm_plan(A, A)
+    path = tmp_path / "plan.npz"
+    save(path, plan)
+    plan2 = load(path)
+    assert type(plan2).__name__ == "SpgemmPlan"
+    # statics survive exactly (they gate the schedule + program selection)
+    for f in ("classes", "class_counts", "seg_w", "npa", "nrow",
+              "slot_budget", "a_dtype", "b_dtype", "pattern", "b2_ws",
+              "aligned_accum"):
+        assert getattr(plan2, f) == getattr(plan, f), f
+    plan2 = jax.tree.map(jnp.asarray, plan2)  # one device move for reuse
+    o1, t1, _ = spgemm_slab_device(A, A, plan=plan)
+    o2, t2, _ = spgemm_slab_device(A, A, plan=plan2)
+    assert np.array_equal(t1, t2)
+    for c1, c2 in zip(o1, o2):
+        for x1, x2 in zip(c1, c2):
+            assert np.array_equal(np.asarray(x1), np.asarray(x2))
+
+
 def test_auto_plan_reuse():
     """ops.spgemm(A, A) self-optimizes: call 2 builds the cached plan, call
     3 rides the gather-free aligned numeric path — results identical to the
