@@ -1,7 +1,13 @@
 from spmm_tpu.parallel.mesh import make_mesh
-from spmm_tpu.parallel.partition import ShardedCSR, partition_rows
+from spmm_tpu.parallel.partition import (
+    ColShardedCSR,
+    ShardedCSR,
+    partition_cols,
+    partition_rows,
+)
 from spmm_tpu.parallel.spmm_dist import (
     spmm_dist,
+    spmm_dist_colsplit,
     spmm_dist_ring,
     spmv_dist,
 )
@@ -16,9 +22,12 @@ from spmm_tpu.parallel.spgemm_spmd import (
 
 __all__ = [
     "make_mesh",
+    "ColShardedCSR",
     "ShardedCSR",
+    "partition_cols",
     "partition_rows",
     "spmm_dist",
+    "spmm_dist_colsplit",
     "spmm_dist_ring",
     "spmv_dist",
     "spgemm_dist_csr",

@@ -85,6 +85,79 @@ def partition_rows(A: CSR, n_shards: int, *, nnz_align: int = 128) -> ShardedCSR
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ColShardedCSR:
+    """n_shards COLUMN blocks of a CSR matrix (contraction-dimension split).
+
+    Each shard holds the sub-CSR of its column range over ALL rows, with
+    column ids relocalized to the block (``indices - col_start``); rows are
+    padded to ``rows_pad`` (a multiple of ``8 * n_shards`` so a
+    ``psum_scatter`` over the row dimension tiles evenly).  The TP mirror of
+    :class:`ShardedCSR`: shard the K axis, not the M axis."""
+
+    data: Array  # (n_shards, nnz_pad)
+    indices: Array  # (n_shards, nnz_pad) block-local column ids
+    indptr: Array  # (n_shards, rows_pad + 1)
+    col_starts: Array  # (n_shards,) int32 global first column per shard
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    n_shards: int = dataclasses.field(metadata=dict(static=True))
+    cols_per_shard: int = dataclasses.field(metadata=dict(static=True))
+    rows_pad: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    def device(self, sharding=None) -> "ColShardedCSR":
+        import jax.numpy as jnp
+
+        if sharding is None:
+            return jax.tree.map(jnp.asarray, self)
+        return jax.tree.map(lambda a: jax.device_put(a, sharding), self)
+
+
+def partition_cols(A: CSR, n_shards: int, *, nnz_align: int = 128) -> ColShardedCSR:
+    """Split A into ``n_shards`` equal COLUMN blocks (the contraction axis).
+
+    Within a row, each shard keeps its nonzeros in original order (the mask
+    select preserves file/row order, matching the reference's no-sort CSR
+    contract, SURVEY.md §2.1)."""
+    h = A.host()
+    m, n = A.shape
+    cols_per = _round_up((n + n_shards - 1) // n_shards, 8)
+    rows_pad = _round_up(m, 8 * n_shards)
+    indptr = np.asarray(h.indptr, dtype=np.int64)[: m + 1]
+    cols = np.asarray(h.indices, dtype=np.int64)[: A.nnz]
+    vals = np.asarray(h.data)[: A.nnz]
+    rows_nnz = np.repeat(np.arange(m, dtype=np.int64), np.diff(indptr))
+
+    shard_of = np.minimum(cols // cols_per, n_shards - 1)
+    counts = np.bincount(shard_of, minlength=n_shards)
+    nnz_pad = _round_up(int(counts.max()) if len(counts) else 1, nnz_align)
+
+    data = np.zeros((n_shards, nnz_pad), dtype=vals.dtype)
+    indices = np.zeros((n_shards, nnz_pad), dtype=np.int32)
+    sh_indptr = np.zeros((n_shards, rows_pad + 1), dtype=np.int32)
+    starts = (np.arange(n_shards, dtype=np.int64) * cols_per).astype(np.int32)
+    for i in range(n_shards):
+        sel = shard_of == i
+        k = int(sel.sum())
+        data[i, :k] = vals[sel]
+        indices[i, :k] = (cols[sel] - starts[i]).astype(np.int32)
+        rc = np.bincount(rows_nnz[sel], minlength=rows_pad).astype(np.int64)
+        np.cumsum(rc, out=rc)
+        sh_indptr[i, 1:] = rc.astype(np.int32)
+    return ColShardedCSR(
+        data=data,
+        indices=indices,
+        indptr=sh_indptr,
+        col_starts=starts,
+        shape=(m, n),
+        n_shards=n_shards,
+        cols_per_shard=cols_per,
+        rows_pad=rows_pad,
+        nnz=A.nnz,
+    )
+
+
 def unshard_rows(Y_sharded: np.ndarray, S: ShardedCSR) -> np.ndarray:
     """(n_shards, rows_pad, k) → (m, k): drop per-shard row padding."""
     m = S.shape[0]

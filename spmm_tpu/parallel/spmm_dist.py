@@ -118,3 +118,44 @@ def spmv_dist(S: ShardedCSR, x: jax.Array, mesh: Mesh, *, axis: str = "rows") ->
     """y = A @ x, row-sharded; x all-gathered."""
     y = spmm_dist(S, x[:, None], mesh, axis=axis)
     return y[..., 0]
+
+
+def spmm_dist_colsplit(
+    Sc, B: jax.Array, mesh: Mesh, *, axis: str = "rows"
+) -> jax.Array:
+    """Y = A @ B with the CONTRACTION axis sharded: A column-block sharded
+    (``partition_cols``), B row-sharded to match — each shard computes a
+    full-height partial product from its K slab with ZERO communication,
+    then one ``psum_scatter`` row-shards the reduced Y (the tensor-parallel
+    mirror of ``spmm_dist``'s data-parallel row split; bandwidth = exactly
+    one Y pass over ICI, the collective's lower bound).
+
+    Use when A's rows are few-but-dense or B is too tall to gather: the
+    only traffic is the output reduction, never A or B.  Returns Y as
+    (n_shards, rows_pad / n_shards, k), row-sharded over ``axis``.
+    """
+    n = mesh.shape[axis]
+    assert Sc.n_shards == n, f"matrix has {Sc.n_shards} col shards, mesh axis {axis} has {n}"
+    k = B.shape[-1]
+    # B rows grouped by the column blocks of A: pad to n * cols_per rows
+    pad = Sc.n_shards * Sc.cols_per_shard - B.shape[0]
+    if pad:
+        B = jnp.concatenate([B, jnp.zeros((pad, k), B.dtype)])
+    Bs = B.reshape(n, Sc.cols_per_shard, k)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    def step(data, indices, indptr, b_local):
+        y_part = _local_spmm(data[0], indices[0], indptr[0], b_local[0])
+        # (rows_pad, k) partials -> row-sharded reduced (rows_pad / n, k)
+        y = jax.lax.psum_scatter(y_part, axis, scatter_dimension=0, tiled=True)
+        return y[None]
+
+    step = jax.jit(step)  # shard_map without jit executes eagerly
+    return step(
+        jnp.asarray(Sc.data), jnp.asarray(Sc.indices), jnp.asarray(Sc.indptr), Bs
+    )
