@@ -619,18 +619,29 @@ def main():
         except Exception as e:  # keep the headline alive on kernel failure
             log("kernel bench failed:", repr(e))
             RESULT["kernel_error"] = repr(e)[:200]
+    def collect_scaling(*, only_if_done: bool = False):
+        proc = scaling_state["proc"]
+        if proc is None or scaling_state.get("collected"):
+            return
+        if only_if_done and proc.poll() is None:
+            return
+        try:
+            RESULT.update(bench_scaling_collect(proc))
+        except Exception as e:
+            log("scaling bench failed:", repr(e))
+            RESULT["scaling_error"] = repr(e)[:200]
+        scaling_state["collected"] = True
+
+    # harvest a finished scaling subprocess BEFORE the suite: if a suite
+    # compile overruns into the watchdog, the curve is already in RESULT
+    collect_scaling(only_if_done=True)
     if not args.no_suite and not args.quick and gate("suite", 110):
         try:
             RESULT.update(bench_suite(cfg))
         except Exception as e:
             log("suite bench failed:", repr(e))
             RESULT["suite_error"] = repr(e)[:200]
-    if scaling_state["proc"] is not None:
-        try:
-            RESULT.update(bench_scaling_collect(scaling_state["proc"]))
-        except Exception as e:
-            log("scaling bench failed:", repr(e))
-            RESULT["scaling_error"] = repr(e)[:200]
+    collect_scaling()
 
     emit()
 

@@ -23,6 +23,15 @@ def _round_up(x: int, m: int) -> int:
     return ((max(x, 1) + m - 1) // m) * m
 
 
+def _device_tree(obj, sharding=None):
+    """Shared device-placement for the sharded containers."""
+    import jax.numpy as jnp
+
+    if sharding is None:
+        return jax.tree.map(jnp.asarray, obj)
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), obj)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ShardedCSR:
@@ -43,11 +52,7 @@ class ShardedCSR:
     nnz: int = dataclasses.field(metadata=dict(static=True))
 
     def device(self, sharding=None) -> "ShardedCSR":
-        import jax.numpy as jnp
-
-        if sharding is None:
-            return jax.tree.map(jnp.asarray, self)
-        return jax.tree.map(lambda a: jax.device_put(a, sharding), self)
+        return _device_tree(self, sharding)
 
 
 def partition_rows(A: CSR, n_shards: int, *, nnz_align: int = 128) -> ShardedCSR:
@@ -107,11 +112,7 @@ class ColShardedCSR:
     nnz: int = dataclasses.field(metadata=dict(static=True))
 
     def device(self, sharding=None) -> "ColShardedCSR":
-        import jax.numpy as jnp
-
-        if sharding is None:
-            return jax.tree.map(jnp.asarray, self)
-        return jax.tree.map(lambda a: jax.device_put(a, sharding), self)
+        return _device_tree(self, sharding)
 
 
 def partition_cols(A: CSR, n_shards: int, *, nnz_align: int = 128) -> ColShardedCSR:
@@ -133,13 +134,20 @@ def partition_cols(A: CSR, n_shards: int, *, nnz_align: int = 128) -> ColSharded
     counts = np.bincount(shard_of, minlength=n_shards)
     nnz_pad = _round_up(int(counts.max()) if len(counts) else 1, nnz_align)
 
+    # ONE stable grouping pass instead of an O(n_shards * nnz) mask per
+    # shard: nonzeros are already row-major, so a stable sort by shard id
+    # yields each shard's nonzeros contiguous AND still in row-major order
+    order = np.argsort(shard_of, kind="stable")
+    bounds = np.zeros(n_shards + 1, np.int64)
+    np.cumsum(counts, out=bounds[1:])
+
     data = np.zeros((n_shards, nnz_pad), dtype=vals.dtype)
     indices = np.zeros((n_shards, nnz_pad), dtype=np.int32)
     sh_indptr = np.zeros((n_shards, rows_pad + 1), dtype=np.int32)
     starts = (np.arange(n_shards, dtype=np.int64) * cols_per).astype(np.int32)
     for i in range(n_shards):
-        sel = shard_of == i
-        k = int(sel.sum())
+        sel = order[bounds[i] : bounds[i + 1]]
+        k = len(sel)
         data[i, :k] = vals[sel]
         indices[i, :k] = (cols[sel] - starts[i]).astype(np.int32)
         rc = np.bincount(rows_nnz[sel], minlength=rows_pad).astype(np.int64)

@@ -19,14 +19,16 @@ from spmm_tpu.formats.containers import COO, CSR, BlockedCSR
 from spmm_tpu.formats.ell import ELL
 
 
+_TYPES = {c.__name__: c for c in (COO, CSR, BSR, BlockedCSR, ELL)}
+
+
 def _types():
-    # lazy: ops pulls in jax-heavy modules; only needed at save/load time
+    """ONE registry for both top-level and nested type resolution.  Lazy:
+    SpgemmPlan lives in the jax-heavy ops package, only needed at
+    save/load time."""
     from spmm_tpu.ops.slab_spgemm import SpgemmPlan
 
-    return {c.__name__: c for c in (COO, CSR, BSR, BlockedCSR, ELL, SpgemmPlan)}
-
-
-_TYPES = {c.__name__: c for c in (COO, CSR, BSR, BlockedCSR, ELL)}
+    return {**_TYPES, SpgemmPlan.__name__: SpgemmPlan}
 
 
 def _flatten(obj, prefix, arrays, meta):
@@ -56,7 +58,7 @@ def _unflatten(cls, prefix, arrays, meta):
         elif key + "__len" in meta:
             kwargs[f.name] = tuple(arrays[f"{key}__{i}"] for i in range(meta[key + "__len"]))
         elif key + "__type" in meta:
-            kwargs[f.name] = _unflatten(_TYPES[meta[key + "__type"]], key + ".", arrays, meta)
+            kwargs[f.name] = _unflatten(_types()[meta[key + "__type"]], key + ".", arrays, meta)
         else:
             kwargs[f.name] = arrays[key]
     return cls(**kwargs)
