@@ -97,3 +97,31 @@ def test_grad_through_blocked_slab_consumer():
     S = A.to_scipy()
     ref = 2.0 * (S.T @ (S @ np.asarray(B)))
     np.testing.assert_allclose(np.asarray(g), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_vmap_batched_spmm():
+    """vmap composes over the kernels: one sparse A against a BATCH of dense
+    RHS stacks (multi-query workloads) without reshaping tricks — the
+    functional-transform contract (jit/grad/vmap all flow through)."""
+    A = webgraph_like(200, 1200, seed=3)
+    Ad = A.pad(8).device()
+    from spmm_tpu.formats.ell import ell_pack
+    from spmm_tpu.ops import spmm_xla
+    from spmm_tpu.ops.ell_spmm import ell_spmm
+
+    rng = np.random.default_rng(4)
+    Bb = rng.standard_normal((3, 200, 8)).astype(np.float32)  # (batch, n, k)
+    S = A.to_scipy()
+    ref = np.stack([S @ Bb[i] for i in range(3)])
+
+    Yx = np.asarray(jax.vmap(lambda B: spmm_xla(Ad, B))(jnp.asarray(Bb)))
+    np.testing.assert_allclose(Yx, ref, rtol=1e-4, atol=1e-4)
+
+    E = ell_pack(A).device()
+    Ye = np.asarray(jax.vmap(lambda B: ell_spmm(E, B))(jnp.asarray(Bb)))
+    np.testing.assert_allclose(Ye, ref, rtol=1e-4, atol=1e-4)
+
+    # and vmap-of-grad (per-batch gradients in one call)
+    g = jax.vmap(jax.grad(lambda B: jnp.sum(spmm_xla(Ad, B) ** 2)))(jnp.asarray(Bb))
+    gref = np.stack([2.0 * (S.T @ (S @ Bb[i])) for i in range(3)])
+    np.testing.assert_allclose(np.asarray(g), gref, rtol=1e-4, atol=1e-4)
