@@ -90,9 +90,11 @@ def emit():
                            "unit": RESULT["unit"], "vs_baseline": RESULT["vs_baseline"]})
         for _ in range(3):  # main thread may mutate RESULT concurrently
             try:
-                line = json.dumps(dict(RESULT))
+                # default=str: a non-JSON value (numpy scalar etc.) must not
+                # take down the one guaranteed output line
+                line = json.dumps(dict(RESULT), default=str)
                 break
-            except RuntimeError:
+            except Exception:
                 continue
         print(line, flush=True)
         _emitted = True

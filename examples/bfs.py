@@ -39,7 +39,13 @@ def bfs(A, source: int, *, max_levels: int | None = None):
     from spmm_tpu.ops.transform import transpose
 
     n = A.shape[0]
-    Et = ell_pack(transpose(A)).device()
+    At = transpose(A)
+    # binarize so "values ignored" is actually true: with raw values,
+    # negative or cancelling edge weights could sum to <= 0 and drop
+    # frontier nodes from the `pushed > 0` test (padding stays zero)
+    bdata = (np.asarray(At.data) != 0).astype(np.float32)
+    At = type(At)(bdata, At.indices, At.indptr, At.shape, At.nnz)
+    Et = ell_pack(At).device()
     max_levels = n if max_levels is None else max_levels
 
     def body(state):

@@ -1585,6 +1585,28 @@ def _operand_fingerprint(A: CSR, B: CSR):
     return fp(A) + (fp(B) if B is not A else ())
 
 
+def _operand_digest(A: CSR, B: CSR) -> str:
+    """Collision-resistant content hash for CROSS-PROCESS checkpoint resume.
+
+    The in-memory plan cache pairs :func:`_operand_fingerprint` with object
+    identity, so the sum-based fingerprint only has to catch in-place
+    mutation; the checkpoint manifest has no identity to lean on — the
+    fingerprint alone is invariant under value swaps and equal-sum
+    permutations, so a different product could silently resume stale pieces.
+    sha256 over the exact operand bytes (data/indices/indptr, trimmed to
+    nnz) is ~1 GB/s — trivial next to the minutes-long streamed runs this
+    guards."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for M in (A,) if B is A else (A, B):
+        for arr in (M.data[: M.nnz], M.indices[: M.nnz], M.indptr):
+            a = np.ascontiguousarray(np.asarray(arr))
+            h.update(str(a.dtype).encode())
+            h.update(a.tobytes())
+    return h.hexdigest()
+
+
 def _auto_plan_lookup(key, A, B):
     ent = _PLAN_CACHE.get(key)
     if ent is not None and ent[0]() is A and ent[1]() is B:
@@ -1827,6 +1849,10 @@ class _BigCheckpoint:
             # repr-strings, not floats: NaN in operand data would make the
             # JSON round-trip compare NaN != NaN and refuse a valid resume
             "fingerprint": [repr(x) for x in _operand_fingerprint(A, B)],
+            # collision-resistant byte hash: the sum fingerprint is invariant
+            # under value swaps / equal-sum permutations, which is fine for
+            # the identity-paired in-memory cache but not for blind resume
+            "sha256": _operand_digest(A, B),
             "shape_a": list(A.shape),
             "shape_b": list(B.shape),
             "pieces": int(P),

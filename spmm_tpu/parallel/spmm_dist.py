@@ -136,6 +136,9 @@ def spmm_dist_colsplit(
     """
     n = mesh.shape[axis]
     assert Sc.n_shards == n, f"matrix has {Sc.n_shards} col shards, mesh axis {axis} has {n}"
+    assert B.shape[0] == Sc.shape[1], (
+        f"B has {B.shape[0]} rows but A has {Sc.shape[1]} columns"
+    )
     k = B.shape[-1]
     # B rows grouped by the column blocks of A: pad to n * cols_per rows
     pad = Sc.n_shards * Sc.cols_per_shard - B.shape[0]
