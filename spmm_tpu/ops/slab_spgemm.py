@@ -1839,13 +1839,15 @@ class _BigCheckpoint:
     pieces; a manifest mismatch (different operands/config) raises rather
     than silently mixing two products."""
 
-    def __init__(self, path, A, B, P, classes, W, slot_budget, accum, pattern):
+    def __init__(self, path, A, B, P, classes, W, slot_budget, accum, pattern,
+                 extra=None):
         import json
         import os
 
         self.dir = path
         os.makedirs(path, exist_ok=True)
         manifest = {
+            **(extra or {}),
             # repr-strings, not floats: NaN in operand data would make the
             # JSON round-trip compare NaN != NaN and refuse a valid resume
             "fingerprint": [repr(x) for x in _operand_fingerprint(A, B)],
@@ -1914,6 +1916,37 @@ class _BigCheckpoint:
         data, indices, indptr = triple
         np.savez(tmp, data=data, indices=indices, indptr=indptr)
         os.replace(tmp, fp)  # atomic: a crash never leaves a torn piece file
+
+    # -- multi-shard pieces (the distributed big path: one file per piece
+    # holding every shard's local CSR triple) ------------------------------
+    def load_multi(self, p: int, nsh: int):
+        import os
+
+        fp = self._piece_path(p)
+        if not os.path.exists(fp):
+            return None
+        try:
+            with np.load(fp) as z:
+                return [
+                    (z[f"data{s}"], z[f"ind{s}"], z[f"iptr{s}"])
+                    for s in range(nsh)
+                ]
+        except Exception:  # torn write or wrong shard count: recompute
+            os.remove(fp)
+            return None
+
+    def save_multi(self, p: int, triples) -> None:
+        import os
+
+        fp = self._piece_path(p)
+        tmp = fp + ".tmp.npz"
+        arrs = {}
+        for s, (data, indices, indptr) in enumerate(triples):
+            arrs[f"data{s}"] = data
+            arrs[f"ind{s}"] = indices
+            arrs[f"iptr{s}"] = indptr
+        np.savez(tmp, **arrs)
+        os.replace(tmp, fp)
 
 
 def spgemm_slab_big(

@@ -4,6 +4,8 @@ from spmm_tpu.parallel.partition import (
     ShardedCSR,
     partition_cols,
     partition_rows,
+    unshard_csr_rows,
+    unshard_rows,
 )
 from spmm_tpu.parallel.spmm_dist import (
     spmm_dist,
@@ -12,6 +14,7 @@ from spmm_tpu.parallel.spmm_dist import (
     spmv_dist,
 )
 from spmm_tpu.parallel.spgemm_spmd import (
+    spgemm_dist_big,
     spgemm_dist_csr,
     spgemm_dist_exec,
     spgemm_dist_halo,
@@ -26,10 +29,13 @@ __all__ = [
     "ShardedCSR",
     "partition_cols",
     "partition_rows",
+    "unshard_csr_rows",
+    "unshard_rows",
     "spmm_dist",
     "spmm_dist_colsplit",
     "spmm_dist_ring",
     "spmv_dist",
+    "spgemm_dist_big",
     "spgemm_dist_csr",
     "spgemm_dist_exec",
     "spgemm_dist_plan",

@@ -171,3 +171,35 @@ def unshard_rows(Y_sharded: np.ndarray, S: ShardedCSR) -> np.ndarray:
     m = S.shape[0]
     out = np.concatenate([np.asarray(Y_sharded[i]) for i in range(S.n_shards)], axis=0)
     return out[:m]
+
+
+def unshard_csr_rows(S: ShardedCSR) -> CSR:
+    """Reassemble a row-sharded CSR (e.g. ``spgemm_dist_csr``'s device-
+    resident output) into one global host CSR.  Shards are contiguous row
+    blocks, so the merge is a plain concatenation of trimmed local triples
+    with indptr offsets — no sort.  Pulls each shard's real nonzeros only
+    (``data[s, :nnz_s]``), never the padded tails."""
+    iptr = np.asarray(S.indptr, np.int64)
+    m = S.shape[0]
+    datas, inds, iptrs = [], [], []
+    off = 0
+    row_starts = np.asarray(S.row_starts, np.int64)
+    for s in range(S.n_shards):
+        k = int(iptr[s, -1])
+        datas.append(np.asarray(S.data[s][:k]))
+        inds.append(np.asarray(S.indices[s][:k], np.int32))
+        # rows this shard actually owns (the last shard's padding overhangs m)
+        own = min(S.rows_per_shard, m - int(row_starts[s]))
+        own = max(own, 0)
+        ip = iptr[s, : own + 1] + off
+        iptrs.append(ip if s == 0 else ip[1:])
+        off = int(ip[-1]) if len(ip) else off
+    indptr = np.concatenate(iptrs) if iptrs else np.zeros(1, np.int64)
+    data = np.concatenate(datas) if datas else np.zeros(0, np.float32)
+    return CSR(
+        data=data,
+        indices=np.concatenate(inds) if inds else np.zeros(0, np.int32),
+        indptr=indptr,
+        shape=S.shape,
+        nnz=int(indptr[-1]),
+    )

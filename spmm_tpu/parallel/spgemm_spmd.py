@@ -181,6 +181,34 @@ def _make_spmd_run(mesh, axis, schedule, kw, W, accum_dtype, pattern, b_sharded,
     return run
 
 
+def _exchange_halo_body(b_ind, b_dat, extra, axis, pattern):
+    """Runtime halo exchange, traced INSIDE a shard_map body: pack owned B
+    rows requested by each peer, swap via ``all_to_all`` (ICI on a real
+    slice), gather the received owner-major blocks into this shard's local
+    halo CSR.  In pattern mode only column ids travel (values are all 1.0 —
+    half the wire traffic).  Shared by the one-shot halo-exchange run and the
+    sharded-B plan phase (exchange once at plan time, re-execute with no
+    collectives)."""
+    send_src, recv_gather, loc_iptr = (x[0] for x in extra)
+    nsh = send_src.shape[0]
+    send_ind = jnp.take(b_ind, send_src.reshape(-1), mode="clip").reshape(nsh, -1)
+    got_ind = jax.lax.all_to_all(
+        send_ind, axis, split_axis=0, concat_axis=0, tiled=True
+    )
+    b_ind = jnp.take(got_ind.reshape(-1), recv_gather, mode="clip")
+    if pattern:
+        b_dat = jnp.ones(b_ind.shape, b_dat.dtype)  # values all 1.0
+    else:
+        send_dat = jnp.take(b_dat, send_src.reshape(-1), mode="clip").reshape(
+            nsh, -1
+        )
+        got_dat = jax.lax.all_to_all(
+            send_dat, axis, split_axis=0, concat_axis=0, tiled=True
+        )
+        b_dat = jnp.take(got_dat.reshape(-1), recv_gather, mode="clip")
+    return loc_iptr, b_ind, b_dat
+
+
 def _make_spmd_run_uncached(mesh, axis, schedule, kw, W, accum_dtype, pattern,
                             b_sharded, compact_nnz_pad=None, exchange=None):
     """The one SPMD program every distribution strategy executes: per-shard
@@ -216,29 +244,9 @@ def _make_spmd_run_uncached(mesh, axis, schedule, kw, W, accum_dtype, pattern,
         if b_sharded:
             b_indptr, b_ind, b_dat = b_indptr[0], b_ind[0], b_dat[0]
         if exchange:
-            # -- runtime halo exchange: pack owned B rows requested by each
-            # peer, swap via all_to_all (ICI on a real slice), gather the
-            # received owner-major blocks into this shard's local halo CSR.
-            send_src, recv_gather, loc_iptr = (x[0] for x in extra)
-            nsh = send_src.shape[0]
-            send_ind = jnp.take(b_ind, send_src.reshape(-1), mode="clip").reshape(
-                nsh, -1
+            b_indptr, b_ind, b_dat = _exchange_halo_body(
+                b_ind, b_dat, extra, axis, pattern
             )
-            got_ind = jax.lax.all_to_all(
-                send_ind, axis, split_axis=0, concat_axis=0, tiled=True
-            )
-            b_ind = jnp.take(got_ind.reshape(-1), recv_gather, mode="clip")
-            if pattern:
-                b_dat = jnp.ones(b_ind.shape, b_dat.dtype)  # values all 1.0
-            else:
-                send_dat = jnp.take(b_dat, send_src.reshape(-1), mode="clip").reshape(
-                    nsh, -1
-                )
-                got_dat = jax.lax.all_to_all(
-                    send_dat, axis, split_axis=0, concat_axis=0, tiled=True
-                )
-                b_dat = jnp.take(got_dat.reshape(-1), recv_gather, mode="clip")
-            b_indptr = loc_iptr
         (b2p, pap, rowmeta, rows_sorted) = _plan_body(
             indptr, ind, dat, b_indptr, b_ind, b_dat, cls_s, nnz=nnz_sc[0],
             pattern=pattern, **kw
@@ -855,26 +863,51 @@ def spgemm_dist_plan(
     slot_budget: int = DEFAULT_SLOT_BUDGET,
     accum_dtype=jnp.float32,
     pattern: bool | None = None,
+    b_sharded: bool = False,
 ) -> DistSpgemmPlan:
-    """Distributed symbolic phase for C = A @ B (A row-sharded, B
-    replicated): per-shard sizing, plan, and class-aligned expansion in one
-    SPMD program; heavy-tail products precomputed via the host fallback."""
+    """Distributed symbolic phase for C = A @ B (A row-sharded): per-shard
+    sizing, plan, and class-aligned expansion in one SPMD program; heavy-tail
+    products precomputed via the host fallback.
+
+    ``b_sharded=False``: B replicated per device (random access to all rows).
+    ``b_sharded=True``: B row-BLOCK sharded; each shard's halo working set is
+    fetched by an in-program ``all_to_all`` AT PLAN TIME ONLY (the runtime
+    exchange of :func:`spgemm_dist_halo_exchange`), and the class-aligned
+    cache persists device-resident per shard — so re-execution via
+    :func:`spgemm_dist_exec` is collective-free and no device ever holds a
+    full B replica.  This is what makes the two-phase (plan-reuse) path and
+    the memory-scalable (sharded-B) path composable at config-5 scale
+    (BASELINE config 5; SURVEY.md §2.12)."""
     W = seg_w
     classes = tuple(sorted({_round_up(c, W) for c in classes}))
     nsh = S.n_shards
     if pattern is None:
         pattern = _detect_shard_pattern(S, B)
-    cls, counts, npa_max, nnz_s = _per_shard_sizing(S, B, W, classes)
+    Bh = B.host()
+    if b_sharded:
+        from spmm_tpu.parallel.partition import partition_rows
+
+        A_sz, lb_iptr, _li, _ld, halo_rows, _hc = partition_halo(S, B)
+        cls, counts, npa_max, nnz_s = _per_shard_sizing(
+            A_sz, B, W, classes, b_iptr_per_shard=lb_iptr
+        )
+        b_part = partition_rows(B, nsh)
+        b_iptr_g = np.asarray(Bh.indptr, np.int64)
+        send_src, recv_gather, _ = _exchange_maps(halo_rows, b_part, b_iptr_g)
+        lenB_loc = lb_iptr[:, 1:] - lb_iptr[:, :-1]
+        nsegB = int(((lenB_loc + W - 1) // W).sum(axis=1).max())
+    else:
+        A_sz = S
+        cls, counts, npa_max, nnz_s = _per_shard_sizing(S, B, W, classes)
+        b_iptr = np.asarray(Bh.indptr, dtype=np.int64)
+        lenB = b_iptr[1:] - b_iptr[:-1]
+        nsegB = int(((lenB + W - 1) // W).sum())
     sched, starts, cnts, _ = _uniform_schedule(
         counts=counts[:, : len(classes) + 1], classes=classes,
         slot_budget=slot_budget,
     )
     tail_per_shard = counts[:, len(classes)]
 
-    Bh = B.host()
-    b_iptr = np.asarray(Bh.indptr, dtype=np.int64)
-    lenB = b_iptr[1:] - b_iptr[:-1]
-    nsegB = int(((lenB + W - 1) // W).sum())
     max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
     rows_pad = S.rows_per_shard
     kw = dict(
@@ -888,6 +921,8 @@ def spgemm_dist_plan(
     schedule = tuple(sched)
 
     spec_sh = P(axis)
+    b_spec = spec_sh if b_sharded else P()
+    n_extra = 3 if b_sharded else 0
     out_specs = (
         spec_sh,
         tuple(spec_sh for _ in schedule),
@@ -897,13 +932,19 @@ def spgemm_dist_plan(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(spec_sh,) * 6 + (P(),) * 3,
+        in_specs=(spec_sh,) * 6 + (b_spec,) * 3 + (spec_sh,) * n_extra,
         out_specs=out_specs,
         check_vma=False,
     )
-    def run_plan(indptr, ind, dat, cls_s, nnz_sc, sc_tab, b_indptr, b_ind, b_dat):
+    def run_plan(indptr, ind, dat, cls_s, nnz_sc, sc_tab, b_indptr, b_ind,
+                 b_dat, *extra):
         indptr, ind, dat = indptr[0], ind[0], dat[0]
         cls_s, nnz_sc, sc_tab = cls_s[0], nnz_sc[0], sc_tab[0]
+        if b_sharded:
+            b_indptr, b_ind, b_dat = b_indptr[0], b_ind[0], b_dat[0]
+            b_indptr, b_ind, b_dat = _exchange_halo_body(
+                b_ind, b_dat, extra, axis, pattern
+            )
         (b2p, pap, rowmeta, _rows_sorted) = _plan_body(
             indptr, ind, dat, b_indptr, b_ind, b_dat, cls_s, nnz=nnz_sc[0],
             pattern=pattern, **kw
@@ -931,15 +972,28 @@ def spgemm_dist_plan(
     sc_tab_h = np.stack([starts, cnts], axis=1)  # (nsh, 2, nchunks)
     sc_tab_d = dev(sc_tab_h)
     rows_sorted, aligned_cols, aligned_vals = run_plan(
-        dev(np.asarray(S.indptr, np.int32)),
-        dev(np.asarray(S.indices, np.int32)),
-        dev(np.asarray(S.data)),
+        dev(np.asarray(A_sz.indptr, np.int32)),
+        dev(np.asarray(A_sz.indices, np.int32)),
+        dev(np.asarray(A_sz.data)),
         dev(cls),
         dev(nnz_s[:, None]),
         sc_tab_d,
-        jnp.asarray(Bh.indptr, jnp.int32),
-        jnp.asarray(Bh.indices, jnp.int32),
-        jnp.asarray(Bh.data),
+        *(
+            (
+                dev(np.asarray(b_part.indptr, np.int32)),
+                dev(np.asarray(b_part.indices, np.int32)),
+                dev(np.asarray(b_part.data)),
+                dev(send_src),
+                dev(recv_gather),
+                dev(lb_iptr.astype(np.int32)),
+            )
+            if b_sharded
+            else (
+                jnp.asarray(Bh.indptr, jnp.int32),
+                jnp.asarray(Bh.indices, jnp.int32),
+                jnp.asarray(Bh.data),
+            )
+        ),
     )
 
     # heavy-tail products: structure+value dependent -> cache in the plan
@@ -1016,3 +1070,236 @@ def spgemm_dist_exec(plan: DistSpgemmPlan, mesh: Mesh, *, as_csr: bool = True):
     cols_l += tc
     vals_l += tv
     return _finish_global_csr(rows_l, cols_l, vals_l, plan.shape)
+
+
+# ---------------------------------------------------------------------------
+# streamed distributed SpGEMM: the >=100M-nnz regime over a device mesh
+# (BASELINE config 5 end to end — the piece streaming of spgemm_slab_big
+# composed with the row-sharded SPMD execution)
+# ---------------------------------------------------------------------------
+
+
+def _merge_tail_into_triple(triple, trows, tcols, tvals, rows_pad, ncol):
+    """Insert heavy-tail products (block-local row ids) into a block's
+    compacted CSR triple.  Tail rows are empty in the device-compacted CSR
+    (their products never enter the slabs), so this is a disjoint row merge:
+    expand, append, counting-sort reassemble."""
+    from spmm_tpu.ops.slab_spgemm import _assemble_csr
+
+    data, indices, indptr = triple
+    lens = indptr[1:] - indptr[:-1]
+    rows = np.repeat(np.arange(rows_pad, dtype=np.int64), lens)
+    C = _assemble_csr(
+        np.concatenate([rows, trows]),
+        np.concatenate([indices.astype(np.int64), tcols]),
+        np.concatenate([data, tvals.astype(data.dtype, copy=False)]),
+        (rows_pad, ncol),
+    )
+    return (
+        np.asarray(C.data[: C.nnz]),
+        np.asarray(C.indices[: C.nnz], np.int32),
+        np.asarray(C.indptr, np.int64),
+    )
+
+
+def spgemm_dist_big(
+    A: CSR,
+    B: CSR,
+    mesh: Mesh,
+    *,
+    axis: str = "rows",
+    pieces: int | None = None,
+    classes: Sequence[int] = DEFAULT_CLASSES,
+    seg_w: int = DEFAULT_SEG_W,
+    slot_budget: int = DEFAULT_SLOT_BUDGET,
+    accum_dtype=jnp.float32,
+    pattern: bool | None = None,
+    checkpoint_dir: str | None = None,
+) -> CSR:
+    """C = A @ B streamed over a device mesh — BASELINE config 5 end to end:
+    row-partitioned SpGEMM at the >=100M-nnz scale where neither the plan
+    tables nor the output fit one program.
+
+    Composition of the repo's two halves (each previously only solo):
+
+    - the OUTER split is the mesh: A's rows are block-sharded over
+      ``mesh[axis]`` (the reference's region split writ large,
+      transmat.h:334-376 / SURVEY.md §2.12);
+    - the INNER split is streaming: each shard's row block is cut into ``P``
+      uniform pieces (``spgemm_slab_big``'s piece loop), and piece ``p`` of
+      ALL shards runs concurrently as ONE compiled SPMD program with
+      per-shard runtime scalars — ``P`` dispatches total, each compacting
+      its per-shard CSR on device (``_compact_to_csr``) so only real
+      nonzeros ever leave the mesh.
+
+    Heavy-tail rows (padded expansion past the class ceiling) are computed
+    by the host fallback per block and merged in during assembly.
+    ``checkpoint_dir`` persists each completed piece (all shards' triples in
+    one file) with a sha256-pinned manifest; a re-run resumes after the last
+    finished piece.  Returns the assembled global host CSR.
+
+    B is replicated per device (an ~8-byte/nnz budget a 16 GB chip holds to
+    ~1.5G nnz(B)); for sharded-B memory scaling compose with
+    ``spgemm_dist_plan(..., b_sharded=True)`` at per-piece scale instead."""
+    from spmm_tpu.ops import slab_spgemm as _slab
+    from spmm_tpu.parallel.partition import partition_rows
+
+    W = seg_w
+    classes = tuple(sorted({_round_up(c, W) for c in classes}))
+    nsh = mesh.shape[axis]
+    if pattern is None:
+        from spmm_tpu.ops.slab_spgemm import _is_pattern
+
+        pattern = (
+            isinstance(A.data, np.ndarray)
+            and isinstance(B.data, np.ndarray)
+            and _is_pattern(A)
+            and _is_pattern(B)
+        )
+
+    # ---- auto piece count: grow P until every block's padded expansion
+    # fits the per-program budget (same loop as spgemm_slab_big, but the
+    # unit is a (shard, piece) block of nsh * P total) ----------------------
+    P_cnt = pieces or 1
+    while True:
+        S = partition_rows(A, nsh * P_cnt)
+        at_min = S.rows_per_shard <= 1 or nsh * P_cnt >= A.nrow
+        try:
+            cls, counts, npa_max, nnz_s = _per_shard_sizing(S, B, W, classes)
+        except ValueError:
+            if at_min:
+                raise
+            P_cnt *= 2
+            continue
+        if pieces is not None or npa_max * W <= _slab._MAX_EXP_PAD or at_min:
+            break
+        P_cnt *= 2
+
+    ncls = len(classes)
+    sched, starts, cnts, _ = _uniform_schedule(
+        counts=counts[:, : ncls + 1], classes=classes, slot_budget=slot_budget
+    )
+    tail_per_block = counts[:, ncls]
+    schedule = tuple(sched)
+    sc_tab_all = np.stack([starts, cnts], axis=1)  # (nsh*P, 2, nchunks)
+
+    Bh = B.host()
+    b_iptr64 = np.asarray(Bh.indptr, np.int64)
+    lenB = b_iptr64[1:] - b_iptr64[:-1]
+    nsegB = int(((lenB + W - 1) // W).sum())
+    max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
+    rows_pad = S.rows_per_shard
+    kw = dict(
+        W=W,
+        npa_pad=_round_up(npa_max, 1024),
+        nsegB_pad=_nseg_pad(nsegB),
+        nrow=rows_pad,
+        nrow_pad=rows_pad + max_chunk,
+        b2_ws=_pick_b2_ws(W, pattern, np.dtype(Bh.data.dtype), _nseg_pad(nsegB)),
+    )
+    nnz_pad_piece = _round_up(npa_max * W, 1024)
+    run = _make_spmd_run(
+        mesh, axis, schedule, kw, W, accum_dtype, pattern,
+        b_sharded=False, compact_nnz_pad=nnz_pad_piece,
+    )
+
+    ckpt = (
+        _slab._BigCheckpoint(
+            checkpoint_dir, A, B, P_cnt, classes, W, slot_budget,
+            str(jnp.dtype(accum_dtype).name), pattern,
+            extra={"dist_nsh": int(nsh)},
+        )
+        if checkpoint_dir is not None
+        else None
+    )
+
+    sharding = NamedSharding(mesh, P(axis))
+    dev = lambda a: jax.device_put(np.ascontiguousarray(a), sharding)
+    b_dev = (
+        jnp.asarray(Bh.indptr, jnp.int32),
+        jnp.asarray(Bh.indices, jnp.int32),
+        jnp.asarray(Bh.data),
+    )
+    s_ind = np.asarray(S.indices)
+    s_dat = np.asarray(S.data)
+    s_iptr = np.asarray(S.indptr)
+    iptr64 = s_iptr.astype(np.int64)
+    accum_np = np.dtype(jnp.dtype(accum_dtype).name)
+
+    # blocks: b = s * P + p  (shard s's rows are blocks [s*P, (s+1)*P), so
+    # global row order == block order; piece p runs blocks {s*P + p})
+    piece_results: list = [None] * P_cnt
+    for p in range(P_cnt):
+        if ckpt is not None:
+            got = ckpt.load_multi(p, nsh)
+            if got is not None:
+                piece_results[p] = got
+                continue
+        blocks = np.arange(nsh) * P_cnt + p
+        rows_sorted, (data, indices, indptr, knnz) = run(
+            dev(s_iptr[blocks].astype(np.int32)),
+            dev(s_ind[blocks].astype(np.int32)),
+            dev(s_dat[blocks]),
+            dev(cls[blocks]),
+            dev(nnz_s[blocks][:, None]),
+            dev(sc_tab_all[blocks]),
+            *b_dev,
+        )
+        knnz_h = np.asarray(knnz).reshape(nsh)
+        rs_host = None
+        triples = []
+        for s in range(nsh):
+            b = int(blocks[s])
+            k = int(knnz_h[s])
+            tri = (
+                np.asarray(jax.device_get(data[s, :k])),
+                np.asarray(jax.device_get(indices[s, :k]), np.int32),
+                np.asarray(jax.device_get(indptr[s]), np.int64),
+            )
+            nt = int(tail_per_block[b])
+            if nt:
+                if rs_host is None:
+                    rs_host = np.asarray(rows_sorted)
+                base = int(counts[b, :ncls].sum())
+                trows = rs_host[s, base : base + nt].astype(np.int64)
+                sub_full = CSR(
+                    data=s_dat[b],
+                    indices=np.asarray(s_ind[b], np.int32),
+                    indptr=iptr64[b],
+                    shape=(rows_pad, A.shape[1]),
+                    nnz=int(nnz_s[b]),
+                )
+                from spmm_tpu.ops.slab_spgemm import _tail_products
+
+                tr, tc, tv = _tail_products(sub_full, trows, Bh, accum_dtype)
+                tri = _merge_tail_into_triple(
+                    (tri[0].astype(accum_np, copy=False), tri[1], tri[2]),
+                    tr, tc, tv, rows_pad, B.ncol,
+                )
+            triples.append(tri)
+        del rows_sorted, data, indices, indptr
+        piece_results[p] = triples
+        if ckpt is not None:
+            ckpt.save_multi(p, triples)
+
+    # ---- stitch: blocks in global row order (b = s*P + p ascending) -------
+    datas, inds, iptrs = [], [], []
+    off = 0
+    first = True
+    for b in range(nsh * P_cnt):
+        s, p = divmod(b, P_cnt)
+        d, i, ip = piece_results[p][s]
+        ip = ip + off
+        iptrs.append(ip if first else ip[1:])
+        first = False
+        off = int(ip[-1])
+        datas.append(d)
+        inds.append(i)
+    indptr_full = np.concatenate(iptrs) if iptrs else np.zeros(1, np.int64)
+    return CSR(
+        data=np.concatenate(datas) if datas else np.zeros(0, accum_np),
+        indices=np.concatenate(inds) if inds else np.zeros(0, np.int32),
+        indptr=indptr_full[: A.nrow + 1],
+        shape=(A.nrow, B.ncol),
+        nnz=int(indptr_full[A.nrow]),
+    )
