@@ -90,6 +90,50 @@ def main():
         if W == 1:
             g1_rate = r
 
+    # --- row gather vs TABLE SIZE (the size-matched attainable rate) ---------
+    # the per-row gather charge grows with the table it reads from
+    # (micro_b2gather.py first measured 70-229 M rows/s across sizes); a
+    # single-size rate made half the r4 att_frac numbers unactionable
+    # (VERDICT r4 weak #1), so the calibration captures the curve and
+    # MeasuredRates.row_gather_rate() interpolates by table bytes
+    gather_curve = []
+    Wc = 128
+    for ntab_log2 in (15, 17, 19, 21):  # 16 MB, 64 MB, 256 MB, 1 GB tables
+        NTABc = 1 << ntab_log2
+        table_bytes = NTABc * Wc * 4
+        Nc = 1 << 21  # 2M gathered rows per measurement
+        tbl = jnp.asarray(rng.standard_normal((NTABc, Wc)).astype(np.float32))
+        idxc = jnp.asarray(rng.integers(0, NTABc, Nc).astype(np.int32))
+
+        def gc(c, tbl, idxc):
+            return jnp.take(tbl, idxc + c.astype(jnp.int32), axis=0).sum()
+
+        t = measure_device_loop(
+            gc, jnp.zeros(()), (tbl, idxc), name=f"gcurve{ntab_log2}", iters=9
+        )
+        r = report(
+            f"row gather, {table_bytes/2**20:.0f} MB table", t.median_ms, elems=Nc
+        )
+        gather_curve.append((int(table_bytes), r))
+        del tbl, idxc
+
+    # --- dispatch + fence floor ----------------------------------------------
+    # one trivial program + one D2H scalar fetch: the per-call overhead every
+    # measured kernel time contains exactly once (~tens of ms through the
+    # axon tunnel; microseconds on a local device)
+    import time as _time
+
+    one = jnp.ones((8,), jnp.float32)
+    tiny = jax.jit(lambda x: x * 2.0 + 1.0)
+    float(np.asarray(tiny(one)[0]))  # compile
+    disp = []
+    for _ in range(12):
+        t0 = _time.perf_counter()
+        float(np.asarray(tiny(one)[0]))
+        disp.append(_time.perf_counter() - t0)
+    dispatch_fence_s = float(np.median(disp))
+    print(f"{'dispatch + D2H fence':<38} {dispatch_fence_s*1e3:9.2f} ms")
+
     # --- scatter-add ----------------------------------------------------------
     vals = jnp.asarray(rng.standard_normal(E).astype(np.float32))
     seg = jnp.asarray(np.sort(rng.integers(0, E // 16, E)).astype(np.int32))
@@ -162,6 +206,8 @@ def main():
         # bound on kernel time only if its denominators are unbeatable
         out = {
             "row_gather_rows_s": grow_best,
+            "row_gather_curve": gather_curve,
+            "dispatch_fence_s": dispatch_fence_s,
             "scalar_gather_s": g1_rate,
             "scatter_elems_s": scatter_best,
             "sort_batched_s": bsort_best,

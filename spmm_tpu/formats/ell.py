@@ -66,7 +66,21 @@ def _slab_plan(lens: np.ndarray, exact_max: int, step: int, max_len: int):
     Returns (perm, n_empty, slabs=[(L, lo, hi), ...], lo_rest)."""
     m = len(lens)
     cls = _length_class(lens, exact_max, step, max_len)
-    perm = np.lexsort((np.arange(m), lens, cls))
+    # STABLE sort by class alone: rows within a slab share the width L, so
+    # within-class order is layout-irrelevant (the mask fill padded short
+    # rows either way) — the native O(n) counting sort replaces the ~100 ms
+    # nrow-scale lexsort at web-Google scale
+    perm = None
+    try:
+        from spmm_tpu import native
+
+        perm = native.counting_argsort_i32(cls.astype(np.int32), max_len + 2)
+        if perm is not None:
+            perm = perm.astype(np.int64)
+    except Exception:
+        perm = None
+    if perm is None:
+        perm = np.lexsort((np.arange(m), lens, cls))
     cls_s = cls[perm]
     n_empty = int(np.searchsorted(cls_s, 0, side="right"))
     slabs = []
@@ -88,19 +102,39 @@ def ell_pack(A: CSR, *, exact_max: int = 64, step: int = 32, max_len: int = 2048
     m, n = A.shape
     lens = np.asarray(h.row_lengths(), dtype=np.int64)
     indptr = np.asarray(h.indptr, dtype=np.int64)
-    indices = np.asarray(h.indices[: A.nnz], dtype=np.int64)
-    dat = np.asarray(h.data[: A.nnz])
+    indices32 = np.ascontiguousarray(h.indices[: A.nnz], dtype=np.int32)
+    dat = np.ascontiguousarray(h.data[: A.nnz])
 
     perm, n_empty, slabs, lo_rest = _slab_plan(lens, exact_max, step, max_len)
 
+    try:
+        from spmm_tpu import native
+
+        use_native = native.available()
+    except Exception:
+        use_native = False
+
     data_slabs, col_slabs = [], []
+    indices = None  # int64 view built lazily, numpy fallback only
     for L, lo, hi in slabs:
         R = hi - lo
         rows_here = perm[lo:hi]
+        ptr = np.ascontiguousarray(indptr[rows_here])
+        ln = np.ascontiguousarray(lens[rows_here])
+        if use_native:
+            # single memcpy/memset pass per row (native/preprocess.cpp) —
+            # the numpy mask path below costs ~5 nnz-scale passes
+            slab_d = np.empty((R, L), dtype=dat.dtype)
+            slab_c = np.empty((R, L), dtype=np.int32)
+            if native.ell_fill_slab(dat, indices32, ptr, ln, slab_d, slab_c):
+                data_slabs.append(slab_d)
+                col_slabs.append(slab_c)
+                continue
+            use_native = False  # library vanished mid-loop: fall back
+        if indices is None:
+            indices = indices32.astype(np.int64)
         slab_d = np.zeros((R, L), dtype=dat.dtype)
         slab_c = np.zeros((R, L), dtype=np.int64)
-        ptr = indptr[rows_here]
-        ln = lens[rows_here]
         pos = np.arange(L)
         mask = pos[None, :] < ln[:, None]
         src = (ptr[:, None] + pos[None, :])[mask]
@@ -121,7 +155,7 @@ def ell_pack(A: CSR, *, exact_max: int = 64, step: int = 32, max_len: int = 2048
         src = indptr[rest_rows][r_of] + (pos - rest_indptr[r_of])
         rest = CSR(
             data=dat[src],
-            indices=indices[src].astype(np.int32),
+            indices=indices32[src],
             indptr=rest_indptr.astype(np.int32),
             shape=(n_rest, n),
             nnz=int(rest_indptr[-1]),

@@ -72,6 +72,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.perm_algebra.restype = None
         lib.perm_algebra.argtypes = [PLL, PLL, PLL, LL, I32, I32, PLL]
+        lib.ell_fill_slab.restype = None
+        lib.ell_fill_slab.argtypes = [
+            ctypes.c_char_p, I32, LL, PLL, PLL, LL, LL,
+            ctypes.c_char_p, I32,
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -197,6 +202,36 @@ def pack_blocked(
     if total < 0:  # element size the native kernel doesn't specialize
         return None
     return packed, cols_local, gather[:total].copy(), counts[:nregions]
+
+
+def ell_fill_slab(
+    data: np.ndarray,
+    indices: np.ndarray,
+    ptr: np.ndarray,
+    ln: np.ndarray,
+    out_d: np.ndarray,
+    out_c: np.ndarray,
+) -> bool:
+    """Fill one (R, L) ELL slab pair from CSR rows (memcpy/memset per row).
+    ``ptr``/``ln`` are int64 source offsets/lengths in slab order; ``out_d``
+    (R, L) of data's dtype, ``out_c`` (R, L) int32.  Returns False when the
+    native library is unavailable (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return False
+    R, L = out_d.shape
+    lib.ell_fill_slab(
+        data.ctypes.data_as(ctypes.c_char_p),
+        _i32p(indices),
+        data.dtype.itemsize,
+        _i64p(ptr),
+        _i64p(ln),
+        R,
+        L,
+        out_d.ctypes.data_as(ctypes.c_char_p),
+        _i32p(out_c),
+    )
+    return True
 
 
 def perm_algebra(perm1: np.ndarray, perm3: np.ndarray, orig_indptr: np.ndarray):

@@ -586,4 +586,28 @@ void dominant_sections(const long long* indptr, const int* cols, long long nrow,
   }
 }
 
+// ELL slab fill: one memcpy+memset pass per row into a (R, L) slab pair —
+// the TPU ELL pack's hot loop (formats/ell.py).  numpy's broadcast-mask
+// double fancy-index build of the same slabs costs ~5 passes over nnz plus
+// an int64 widening of the column ids; this is a single streaming pass
+// (~GB/s), which is what drops the web-Google auto-pack from ~260 ms to
+// tens of ms.  dat/out_d are raw byte pointers with element size esz
+// (4 = fp32, 8 = fp64); ptr/ln index the SOURCE CSR rows in slab order.
+void ell_fill_slab(const char* dat, const int* ind, long long esz,
+                   const long long* ptr, const long long* ln,
+                   long long R, long long L,
+                   char* out_d, int* out_c) {
+  for (long long r = 0; r < R; ++r) {
+    long long l = ln[r];
+    if (l > L) l = L;
+    const long long p = ptr[r];
+    char* od = out_d + r * L * esz;
+    std::memcpy(od, dat + p * esz, (size_t)(l * esz));
+    std::memset(od + l * esz, 0, (size_t)((L - l) * esz));
+    int* oc = out_c + r * L;
+    std::memcpy(oc, ind + p, (size_t)(l * sizeof(int)));
+    std::memset(oc + l, 0, (size_t)((L - l) * sizeof(int)));
+  }
+}
+
 }  // extern "C"
