@@ -446,6 +446,29 @@ def bench_spgemm(A, chip, start_scaling=None):
             extras["spgemm_warm_att_frac"] = round(
                 spgemm_warm_attainable(npa * W, out_nnz) / (wms * 1e-3), 3
             )
+
+            # chained execution: N products, ONE fence — the per-product
+            # device-time floor with the tunnel's dispatch+fence amortized
+            # (VERDICT r4 item #4; DESIGN §2 named the per-product fence as
+            # the remaining ~14 ms of the warm path)
+            from spmm_tpu.ops.slab_spgemm import spgemm_chain_device
+
+            NCHAIN = 8
+            outs_c = spgemm_chain_device(plan, 2)  # warm the chain path
+            np.asarray(outs_c[-1][3][:1])
+            times = []
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                outs_c = spgemm_chain_device(plan, NCHAIN)
+                np.asarray(outs_c[-1][3][:1])  # one fence for all N
+                times.append((_time.perf_counter() - t0) * 1e3)
+            cms = min(times) / NCHAIN
+            log(f"spgemm_chain ({NCHAIN} products, one fence): {cms:.1f} ms/product")
+            extras["spgemm_chain_ms"] = round(cms, 1)
+            extras["spgemm_chain_att_frac"] = round(
+                spgemm_warm_attainable(npa * W, out_nnz, dispatches=1.0 / NCHAIN)
+                / (cms * 1e-3), 3
+            )
         except Exception as e:  # keep the cold extras on warm-path failure
             log("spgemm warm bench failed:", repr(e))
             extras["spgemm_warm_error"] = repr(e)[:200]

@@ -1558,6 +1558,42 @@ def spgemm_slab_device(
     return list(outs), tail_rows, None
 
 
+def spgemm_chain_device(plan: "SpgemmPlan", n_products: int = 8, *,
+                        accum_dtype=jnp.float32):
+    """``n_products`` plan-reuse numeric phases launched back-to-back with
+    NO intermediate fence — the repeated-product steady state (same
+    structure each step: the cuSPARSE spgemm-reuse contract, and the shape
+    of pagerank-style iteration where the plan is rebuilt only on structure
+    change).
+
+    The r4 warm path fenced every product (~14 ms of its 44.5 ms was
+    dispatch + D2H round-trip on the remote tunnel, DESIGN §2); here the
+    dispatches queue asynchronously on the device and the caller fences
+    ONCE at the end, so per-product cost approaches the pure device-time
+    floor.  Returns the last product's chunk outputs (all products are
+    identical by construction; timing the chain and dividing by
+    ``n_products`` is the honest per-product steady-state measurement —
+    bench.py's ``spgemm_chain_ms``).
+
+    Requires an aligned-cache plan (``spgemm_plan(expand=True)``, the
+    default) with a matching accumulation dtype."""
+    assert plan.aligned_cols, "chain requires an aligned-cache plan"
+    assert plan.aligned_accum == str(jnp.dtype(accum_dtype).name), (
+        plan.aligned_accum, accum_dtype)
+    sched, _ = _chunk_schedule(plan.classes, plan.class_counts, plan.slot_budget)
+    outs = None
+    for _ in range(max(int(n_products), 1)):
+        outs = _fused_numeric_aligned(
+            plan.aligned_cols,
+            plan.aligned_vals,
+            plan.rows_sorted,
+            schedule=tuple(sched),
+            accum_dtype=accum_dtype,
+            pattern=plan.pattern,
+        )
+    return list(outs)
+
+
 #: auto plan-reuse (spgemm_slab): operand pairs multiplied a second time get
 #: a cached two-phase plan; call 3+ runs the gather-free aligned numeric
 #: program (~5x the cold rate at web-Google scale).  Weakly keyed by operand

@@ -312,6 +312,30 @@ def test_plan_aligned_cache_parity():
                 assert np.array_equal(np.asarray(x1), np.asarray(x2))
 
 
+def test_chain_device_matches_single():
+    """spgemm_chain_device (N back-to-back plan-reuse products, one fence)
+    returns chunk outputs bit-identical to one spgemm_slab_device(plan=...)
+    execution, pattern and value modes."""
+    import dataclasses as _dc
+
+    from spmm_tpu.ops.slab_spgemm import (
+        spgemm_chain_device, spgemm_plan, spgemm_slab_device,
+    )
+
+    A = webgraph_like(1200, 7200, seed=9)
+    rng = np.random.default_rng(10)
+    Av = _dc.replace(
+        A, data=rng.standard_normal(A.data.shape[0]).astype(np.float32)
+    )
+    for M in (A, Av):
+        plan = spgemm_plan(M, M)
+        o1, _, _ = spgemm_slab_device(M, M, plan=plan)
+        oc = spgemm_chain_device(plan, 3)
+        for c1, c2 in zip(o1, oc):
+            for x1, x2 in zip(c1, c2):
+                assert np.array_equal(np.asarray(x1), np.asarray(x2))
+
+
 def test_plan_serialize_roundtrip(tmp_path):
     """A SpgemmPlan survives save/load (utils.serialize) and a loaded plan
     executes in a fresh context with bit-identical chunk outputs — the
