@@ -528,6 +528,36 @@ def bench_scaling_collect(proc):
     return out
 
 
+def bench_dist_big(chip):
+    """Streamed distributed SpGEMM (BASELINE config 5 composition,
+    spgemm_dist_big) on the real chip: a 1-device mesh, forced multi-piece
+    streaming.  The full >=100M-nnz 8-shard execution with exact scipy
+    parity runs on the CPU mesh (benchmarks/dist_big_cpu.py: 104.5M nnz ->
+    963.2M out, r5); this section proves the same code path on TPU and
+    reports its streaming throughput at a budget-sized scale."""
+    import time as _time
+
+    import jax
+    from jax.sharding import Mesh
+
+    from spmm_tpu.formats.synthetic import webgraph_like
+    from spmm_tpu.parallel.spgemm_spmd import spgemm_dist_big
+
+    extras = RESULT
+    G = webgraph_like(1_000_000, 8_000_000, seed=5)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("rows",))
+    t0 = _time.perf_counter()
+    C = spgemm_dist_big(G, G, mesh, pieces=4)
+    ms = (_time.perf_counter() - t0) * 1e3
+    extras["spgemm_dist_big_ms"] = round(ms, 1)
+    extras["spgemm_dist_big_nnz_out"] = int(C.nnz)
+    extras["spgemm_dist_big_mnnz_out_per_s"] = round(C.nnz / (ms * 1e-3) / 1e6, 1)
+    extras["spgemm_dist_big_pieces"] = 4
+    log(f"spgemm_dist_big (1M rows / {G.nnz/1e6:.1f}M nnz, 4 pieces): "
+        f"{ms:.0f} ms -> {C.nnz/1e6:.1f}M out")
+    return extras
+
+
 # the reference's evaluation suite (README.md:12-18) as synthetic analogs
 # (SuiteSparse is unreachable without egress; shapes/nnz match the originals)
 SUITE = {
@@ -698,6 +728,12 @@ def main():
         except Exception as e:
             log("suite bench failed:", repr(e))
             RESULT["suite_error"] = repr(e)[:200]
+    if not args.no_spgemm and not args.quick and gate("dist_big", 120):
+        try:
+            RESULT.update(bench_dist_big(chip))
+        except Exception as e:
+            log("dist_big bench failed:", repr(e))
+            RESULT["dist_big_error"] = repr(e)[:200]
     collect_scaling()
 
     emit()

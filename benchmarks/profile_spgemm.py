@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--nnz", type=int, default=5_105_039)
     ap.add_argument("--seg-w", type=int, default=None)
     ap.add_argument("--pattern", action="store_true", default=None)
+    ap.add_argument("--plan", action="store_true",
+                    help="profile the PLAN BUILD program (_plan_aligned_device"
+                    ": plan stages + class-aligned expansion) instead of the "
+                    "fused cold multiply — VERDICT r4 item #7")
     args = ap.parse_args()
 
     from spmm_tpu.formats.synthetic import webgraph_like
@@ -76,6 +80,59 @@ def main():
         jnp.asarray(Ad.indices, jnp.int32), jnp.asarray(Ad.data),
         None,
     )
+
+    if args.plan:
+        # the plan-build program: plan stages (B2 scatter, pa step function,
+        # class sort) + the class-aligned cache expansion, one dispatch
+        plan_kw = dict(kw)
+        plan_kw.pop("schedule")
+        plan_kw.pop("accum_dtype")
+        sched2 = tuple(sched)
+        fn = lambda *a, **k: ss._plan_aligned_device(
+            *a, schedule=sched2, a_dtype="float32", b_dtype="float32",
+            accum_dtype=jnp.float32, presorted=False, **k,
+        )
+        kw = plan_kw
+
+        def run():
+            outs = fn(*dev_args, **kw)
+            np.asarray(outs[3][:1])  # rows_sorted fence
+            return outs
+
+        run()
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            times.append((time.perf_counter() - t0) * 1e3)
+        print(f"plan build wall (fenced): {min(times):.1f} ms  (+ sizing {t_sizing:.1f})")
+        from spmm_tpu.ops.roofline import V5E_RATES as R
+
+        b2_bytes = nsegB_pad * kw["b2_ws"] * 4
+        terms = {
+            "B2 scatter (nnz_b set-scatter)": A.nnz / R.scatter_elems_s,
+            "B2 dd scatter (nrow_b deltas)": A.shape[0] / R.scatter_elems_s,
+            "pa step scatter (nnz_a)": A.nnz / R.scatter_elems_s,
+            "geom row gather (nnz_a)": A.nnz / R.row_gather_rate(A.shape[0] * 8),
+            "aligned fetch (npa row gathers)": npa / R.row_gather_rate(b2_bytes),
+            "aligned write (4 B/slot)": npa * W * 4 / R.elementwise_gbs,
+            "dispatch+fence": R.dispatch_fence_s,
+        }
+        tot = sum(terms.values())
+        print("--- attainable decomposition (measured primitive rates) ---")
+        for k2, v in terms.items():
+            print(f"{v*1e3:9.2f} ms  {k2}")
+        print(f"{tot*1e3:9.2f} ms  TOTAL attainable  -> att_frac "
+              f"{tot / (min(times) * 1e-3):.3f}")
+        from spmm_tpu.utils.profiling import profile_fn
+
+        prof = profile_fn(fn, *dev_args, **kw)
+        print(prof.top(25))
+        print("\n--- by source ---")
+        for src, ms in prof.by_source().items():
+            if ms > 1.0:
+                print(f"{ms:9.2f} ms  {src}")
+        return
 
     fn = ss._fused_exec
     # wall timing (3 runs, min), matching bench.py's fence discipline

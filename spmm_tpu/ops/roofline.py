@@ -96,10 +96,15 @@ class MeasuredRates:
     ONE calibration source: ``benchmarks/primitives.py --json`` writes the
     driver-captured rates to ``spmm_tpu/primitive_rates.json``;
     :meth:`load` prefers that file so the attainable bounds, README table,
-    and bench.py all quote the same measurement (a bound derived from the
-    chip's own best primitive rates cannot be exceeded, so
-    ``att_frac <= 1`` by construction).  The class defaults are the v5e
-    measurements as of the last capture and only serve as fallback."""
+    and bench.py all quote the same measurement.  The class defaults are
+    the v5e measurements as of the last capture and only serve as fallback.
+
+    Caveat on ``att_frac > 1``: the gather calibration uses UNIFORM-RANDOM
+    indices — the true worst case.  A kernel whose access stream has
+    locality (web graphs put ~60% of targets near the diagonal) can beat
+    the uniform-random rate, so fractions slightly above 1 mean "at or past
+    the random-gather wall, surplus explained by locality", not a
+    measurement error (r5: ELL SpMM k=128 reads ~1.1 on web-Google)."""
 
     row_gather_rows_s: float = 1.1e8  # aligned 2-D row gather, any width
     scatter_elems_s: float = 1.1e8  # segment_sum / .at[] set
