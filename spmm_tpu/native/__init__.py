@@ -27,6 +27,10 @@ def _load() -> Optional[ctypes.CDLL]:
     if _tried:
         return _lib
     _tried = True
+    # ops/debug kill switch: force the pure-numpy fallbacks everywhere
+    if os.environ.get("SPMM_TPU_NO_NATIVE"):
+        _lib = None
+        return None
     try:
         # build() is an mtime-checked no-op when the library is current;
         # calling it unconditionally picks up source edits (a stale .so made
@@ -219,6 +223,15 @@ def ell_fill_slab(
     lib = _load()
     if lib is None:
         return False
+    # defensive dtype/layout enforcement: the C side reads int64 offsets and
+    # int32 ids — a caller passing int32 offsets would be read as garbage
+    # int64 lengths (negative/huge memcpy sizes = heap corruption)
+    data = np.ascontiguousarray(data)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    ptr = np.ascontiguousarray(ptr, dtype=np.int64)
+    ln = np.ascontiguousarray(ln, dtype=np.int64)
+    assert out_d.flags.c_contiguous and out_c.flags.c_contiguous
+    assert out_c.dtype == np.int32 and out_d.dtype == data.dtype
     R, L = out_d.shape
     lib.ell_fill_slab(
         data.ctypes.data_as(ctypes.c_char_p),

@@ -600,6 +600,7 @@ void ell_fill_slab(const char* dat, const int* ind, long long esz,
   for (long long r = 0; r < R; ++r) {
     long long l = ln[r];
     if (l > L) l = L;
+    if (l < 0) l = 0;  // defensive: a negative memcpy size is a heap stomp
     const long long p = ptr[r];
     char* od = out_d + r * L * esz;
     std::memcpy(od, dat + p * esz, (size_t)(l * esz));

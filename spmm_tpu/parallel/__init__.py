@@ -20,6 +20,7 @@ from spmm_tpu.parallel.spgemm_spmd import (
     spgemm_dist_halo,
     spgemm_dist_halo_exchange,
     spgemm_dist_plan,
+    spgemm_dist_revalue,
     spgemm_dist_spmd,
 )
 
@@ -39,6 +40,7 @@ __all__ = [
     "spgemm_dist_csr",
     "spgemm_dist_exec",
     "spgemm_dist_plan",
+    "spgemm_dist_revalue",
     "spgemm_dist_halo",
     "spgemm_dist_halo_exchange",
     "spgemm_dist_spmd",

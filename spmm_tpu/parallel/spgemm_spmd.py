@@ -852,6 +852,75 @@ class DistSpgemmPlan:
     n_shards: int
 
 
+#: memoized plan-phase SPMD programs (mirror of _SPMD_RUN_CACHE for the
+#: numeric run): repeated spgemm_dist_plan calls with the same configuration
+#: — in particular spgemm_dist_revalue — reuse the jitted callable instead
+#: of paying a full shard_map retrace per build.
+_PLAN_RUN_CACHE: dict = {}
+
+
+def _make_plan_run(mesh, axis, schedule, kw, W, accum_dtype, pattern, b_sharded):
+    key = (
+        mesh, axis, tuple(schedule), tuple(sorted(kw.items())), W,
+        str(jnp.dtype(accum_dtype).name), pattern, b_sharded,
+    )
+    run = _PLAN_RUN_CACHE.get(key)
+    if run is not None:
+        return run
+
+    spec_sh = P(axis)
+    b_spec = spec_sh if b_sharded else P()
+    n_extra = 3 if b_sharded else 0
+    out_specs = (
+        spec_sh,
+        tuple(spec_sh for _ in schedule),
+        tuple(spec_sh for _ in schedule) if not pattern else (),
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_sh,) * 6 + (b_spec,) * 3 + (spec_sh,) * n_extra,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def run_plan(indptr, ind, dat, cls_s, nnz_sc, sc_tab, b_indptr, b_ind,
+                 b_dat, *extra):
+        indptr, ind, dat = indptr[0], ind[0], dat[0]
+        cls_s, nnz_sc, sc_tab = cls_s[0], nnz_sc[0], sc_tab[0]
+        if b_sharded:
+            b_indptr, b_ind, b_dat = b_indptr[0], b_ind[0], b_dat[0]
+            b_indptr, b_ind, b_dat = _exchange_halo_body(
+                b_ind, b_dat, extra, axis, pattern
+            )
+        (b2p, pap, rowmeta, _rows_sorted) = _plan_body(
+            indptr, ind, dat, b_indptr, b_ind, b_dat, cls_s, nnz=nnz_sc[0],
+            pattern=pattern, **kw
+        )
+        a_dt, b_dt = str(dat.dtype), str(b_dat.dtype)
+        cols_t, vals_t = [], []
+        for i, (L, R_pad) in enumerate(schedule):
+            start, cnt = sc_tab[0, i], sc_tab[1, i]
+            nblk = L // W
+            base, nb, bm = _chunk_meta(rowmeta, start, cnt, R_pad, nblk)
+            col, val = _chunk_fetch(
+                b2p, pap, base, nb, bm,
+                L=L, R_pad=R_pad, W=W, a_dtype=a_dt, b_dtype=b_dt,
+                accum_dtype=accum_dtype, pattern=pattern,
+                b2_ws=kw.get("b2_ws"),
+            )
+            cols_t.append(col.reshape(-1)[None])
+            if val is not None:
+                vals_t.append(val.reshape(-1)[None])
+        return _rows_sorted[None], tuple(cols_t), tuple(vals_t)
+
+    run = jax.jit(run_plan)  # see _make_spmd_run: unjitted = eager
+    if len(_PLAN_RUN_CACHE) > 32:
+        _PLAN_RUN_CACHE.pop(next(iter(_PLAN_RUN_CACHE)))
+    _PLAN_RUN_CACHE[key] = run
+    return run
+
+
 def spgemm_dist_plan(
     S: ShardedCSR,
     B: CSR,
@@ -920,53 +989,9 @@ def spgemm_dist_plan(
     )
     schedule = tuple(sched)
 
-    spec_sh = P(axis)
-    b_spec = spec_sh if b_sharded else P()
-    n_extra = 3 if b_sharded else 0
-    out_specs = (
-        spec_sh,
-        tuple(spec_sh for _ in schedule),
-        tuple(spec_sh for _ in schedule) if not pattern else (),
+    run_plan = _make_plan_run(
+        mesh, axis, schedule, kw, W, accum_dtype, pattern, b_sharded
     )
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(spec_sh,) * 6 + (b_spec,) * 3 + (spec_sh,) * n_extra,
-        out_specs=out_specs,
-        check_vma=False,
-    )
-    def run_plan(indptr, ind, dat, cls_s, nnz_sc, sc_tab, b_indptr, b_ind,
-                 b_dat, *extra):
-        indptr, ind, dat = indptr[0], ind[0], dat[0]
-        cls_s, nnz_sc, sc_tab = cls_s[0], nnz_sc[0], sc_tab[0]
-        if b_sharded:
-            b_indptr, b_ind, b_dat = b_indptr[0], b_ind[0], b_dat[0]
-            b_indptr, b_ind, b_dat = _exchange_halo_body(
-                b_ind, b_dat, extra, axis, pattern
-            )
-        (b2p, pap, rowmeta, _rows_sorted) = _plan_body(
-            indptr, ind, dat, b_indptr, b_ind, b_dat, cls_s, nnz=nnz_sc[0],
-            pattern=pattern, **kw
-        )
-        a_dt, b_dt = str(dat.dtype), str(b_dat.dtype)
-        cols_t, vals_t = [], []
-        for i, (L, R_pad) in enumerate(schedule):
-            start, cnt = sc_tab[0, i], sc_tab[1, i]
-            nblk = L // W
-            base, nb, bm = _chunk_meta(rowmeta, start, cnt, R_pad, nblk)
-            col, val = _chunk_fetch(
-                b2p, pap, base, nb, bm,
-                L=L, R_pad=R_pad, W=W, a_dtype=a_dt, b_dtype=b_dt,
-                accum_dtype=accum_dtype, pattern=pattern,
-                b2_ws=kw.get("b2_ws"),
-            )
-            cols_t.append(col.reshape(-1)[None])
-            if val is not None:
-                vals_t.append(val.reshape(-1)[None])
-        return _rows_sorted[None], tuple(cols_t), tuple(vals_t)
-
-    run_plan = jax.jit(run_plan)  # see _make_spmd_run: unjitted = eager
     sharding = NamedSharding(mesh, P(axis))
     dev = lambda a: jax.device_put(np.asarray(a), sharding)
     sc_tab_h = np.stack([starts, cnts], axis=1)  # (nsh, 2, nchunks)
@@ -1004,7 +1029,14 @@ def spgemm_dist_plan(
             rows_sorted, counts, len(classes), tail_per_shard, S, B,
             accum_dtype, row_starts, rows_l, cols_l, vals_l,
         )
-    return DistSpgemmPlan(
+    _rebuild = dict(
+        classes=classes, seg_w=W, slot_budget=slot_budget, kw=kw,
+        cls=cls, counts=counts, nnz_s=nnz_s, b_sharded=b_sharded,
+        a_indices=np.asarray(A_sz.indices), a_indptr=np.asarray(A_sz.indptr),
+        exchange=(send_src, recv_gather, lb_iptr) if b_sharded else None,
+        a_nnz=S.nnz, b_nnz=B.nnz,
+    )
+    plan = DistSpgemmPlan(
         rows_sorted=rows_sorted,
         sc_tab=sc_tab_d,
         aligned_cols=tuple(aligned_cols),
@@ -1018,6 +1050,101 @@ def spgemm_dist_plan(
         accum_dtype=accum_dtype,
         n_shards=nsh,
     )
+    plan._rebuild = _rebuild  # structure-only metadata for spgemm_dist_revalue
+    return plan
+
+
+def spgemm_dist_revalue(
+    plan: DistSpgemmPlan,
+    S: ShardedCSR,
+    B: CSR,
+    mesh: Mesh,
+) -> DistSpgemmPlan:
+    """New distributed plan for NEW VALUES on the SAME sparsity structure —
+    the distributed mirror of :func:`spmm_tpu.ops.slab_spgemm.
+    spgemm_plan_revalue` (cuSPARSE spgemm-reuse contract: iterative
+    workloads update weights each step, structure fixed).
+
+    Reuses from ``plan``: the per-shard sizing (cls/counts/schedule), the
+    relabeled A structure, the exchange maps (sharded-B mode), and the
+    already-compiled plan-phase SPMD program (``_PLAN_RUN_CACHE``) — only
+    the value arrays re-upload and the one plan dispatch re-executes.  The
+    caller guarantees S/B carry exactly the structure ``plan`` was built
+    from (nnz validated, like cuSPARSE)."""
+    rb = getattr(plan, "_rebuild", None)
+    if rb is None:
+        raise ValueError("plan lost its rebuild metadata (serialized?); "
+                         "rebuild with spgemm_dist_plan")
+    if S.nnz != rb["a_nnz"] or B.nnz != rb["b_nnz"]:
+        raise ValueError(
+            f"operand structure differs from the plan's: nnz {S.nnz}/{B.nnz} "
+            f"vs plan {rb['a_nnz']}/{rb['b_nnz']}"
+        )
+    axis = plan.axis
+    nsh = plan.n_shards
+    accum_dtype = plan.accum_dtype
+    pattern = plan.pattern
+    classes = rb["classes"]
+    run_plan = _make_plan_run(
+        mesh, axis, plan.schedule, rb["kw"], rb["seg_w"], accum_dtype,
+        pattern, rb["b_sharded"],
+    )
+    sharding = NamedSharding(mesh, P(axis))
+    dev = lambda a: jax.device_put(np.asarray(a), sharding)
+    Bh = B.host()
+    if rb["b_sharded"]:
+        from spmm_tpu.parallel.partition import partition_rows
+
+        send_src, recv_gather, lb_iptr = rb["exchange"]
+        b_part = partition_rows(B, nsh)
+        b_args = (
+            dev(np.asarray(b_part.indptr, np.int32)),
+            dev(np.asarray(b_part.indices, np.int32)),
+            dev(np.asarray(b_part.data)),
+            dev(send_src),
+            dev(recv_gather),
+            dev(lb_iptr.astype(np.int32)),
+        )
+    else:
+        b_args = (
+            jnp.asarray(Bh.indptr, jnp.int32),
+            jnp.asarray(Bh.indices, jnp.int32),
+            jnp.asarray(Bh.data),
+        )
+    rows_sorted, aligned_cols, aligned_vals = run_plan(
+        dev(rb["a_indptr"].astype(np.int32)),
+        dev(rb["a_indices"].astype(np.int32)),
+        dev(np.asarray(S.data)),
+        dev(rb["cls"]),
+        dev(rb["nnz_s"][:, None]),
+        plan.sc_tab,
+        *b_args,
+    )
+    counts = rb["counts"]
+    tail_per_shard = counts[:, len(classes)]
+    rows_l, cols_l, vals_l = [], [], []
+    if tail_per_shard.sum():
+        _append_shard_tails(
+            rows_sorted, counts, len(classes), tail_per_shard, S, B,
+            accum_dtype, np.asarray(plan.row_starts, np.int64),
+            rows_l, cols_l, vals_l,
+        )
+    new = DistSpgemmPlan(
+        rows_sorted=rows_sorted,
+        sc_tab=plan.sc_tab,
+        aligned_cols=tuple(aligned_cols),
+        aligned_vals=tuple(aligned_vals),
+        schedule=plan.schedule,
+        tail=(rows_l, cols_l, vals_l),
+        row_starts=plan.row_starts,
+        shape=plan.shape,
+        axis=axis,
+        pattern=pattern,
+        accum_dtype=accum_dtype,
+        n_shards=nsh,
+    )
+    new._rebuild = rb
+    return new
 
 
 def spgemm_dist_exec(plan: DistSpgemmPlan, mesh: Mesh, *, as_csr: bool = True):

@@ -476,3 +476,43 @@ def test_spgemm_dist_moderate_scale(mesh):
     np.testing.assert_allclose(
         np.asarray(Ch.data[: Ch.nnz]), sC.data, rtol=1e-4, atol=1e-4
     )
+
+
+def test_spgemm_dist_revalue(mesh):
+    """Distributed revalue: same structure, new values — plan rebuilt
+    through the memoized plan program (no re-sizing, no new exchange maps),
+    exec parity with scipy on the NEW values; both B modes."""
+    import dataclasses as _dc
+
+    from spmm_tpu.parallel import partition_rows
+    from spmm_tpu.parallel.spgemm_spmd import (
+        spgemm_dist_exec,
+        spgemm_dist_plan,
+        spgemm_dist_revalue,
+    )
+
+    A = webgraph_like(1024, 6100, seed=51)
+    rng = np.random.default_rng(52)
+    Av = _dc.replace(A, data=rng.standard_normal(A.data.shape[0]).astype(np.float32))
+    Av2 = _dc.replace(A, data=rng.standard_normal(A.data.shape[0]).astype(np.float32))
+    for bs in (False, True):
+        S = partition_rows(Av, 8)
+        plan = spgemm_dist_plan(
+            S, Av, mesh, classes=(16, 64, 256), slot_budget=1 << 14,
+            b_sharded=bs,
+        )
+        S2 = partition_rows(Av2, 8)
+        plan2 = spgemm_dist_revalue(plan, S2, Av2, mesh)
+        C = spgemm_dist_exec(plan2, mesh)
+        ref = (Av2.to_scipy() @ Av2.to_scipy()).tocsr()
+        ref.sum_duplicates()
+        ref.sort_indices()
+        assert C.nnz == ref.nnz
+        np.testing.assert_array_equal(np.asarray(C.indices[: C.nnz]), ref.indices)
+        np.testing.assert_allclose(
+            np.asarray(C.data[: C.nnz]), ref.data, rtol=1e-4, atol=1e-4
+        )
+        # structure mismatch must raise
+        bad = webgraph_like(1024, 6000, seed=53)
+        with pytest.raises(ValueError):
+            spgemm_dist_revalue(plan, partition_rows(bad, 8), bad, mesh)
