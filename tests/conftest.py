@@ -26,3 +26,20 @@ assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiled_program_accumulation():
+    """Clear JAX's compiled-executable caches at every module boundary.
+
+    The full 140-test suite in ONE process deterministically segfaulted the
+    XLA:CPU compiler near the end (r5, 3/3 runs: test_bfs fails, then the
+    next fresh compile dies inside ``backend_compile_and_load``; one run's
+    kernel log showed ~508 GB allocation requests — corrupted compiler
+    state).  Any ~60-test subset is green, including the exact crashing
+    tests standalone, so the trigger is TOTAL accumulated compiled programs
+    in the process, not any specific test.  Clearing at module boundaries
+    bounds the live-executable count; session-scoped jitted callables
+    (e.g. the memoized SPMD programs) transparently recompile on next use."""
+    yield
+    jax.clear_caches()
