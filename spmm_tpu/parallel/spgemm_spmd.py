@@ -517,7 +517,7 @@ def spgemm_dist_csr(
 # ---------------------------------------------------------------------------
 
 
-def partition_halo(S: ShardedCSR, B: CSR):
+def partition_halo(S: ShardedCSR, B: CSR, *, structure_only: bool = False):
     """Per-shard halo restriction of B (SURVEY.md §2.12: the off-shard rows a
     shard's column ids reference are its halo set; the reference's
     distinct-column working set, transmat.h:334-376, is the same bound
@@ -531,6 +531,11 @@ def partition_halo(S: ShardedCSR, B: CSR):
     Returns ``(A_rel, b_indptr, b_ind, b_dat, halo_rows, halo_counts)``:
     A_rel a ShardedCSR with relabeled indices; the b_* arrays stacked
     (nsh, ...) per-shard local CSRs of B.
+
+    ``structure_only=True`` skips materializing the local B element arrays
+    (``b_ind``/``b_dat`` return as 1-element placeholders) — the runtime-
+    exchange paths fetch the elements device-to-device and only need the
+    relabeled A, the local indptr, and the halo row lists.
     """
     import dataclasses as _dc
 
@@ -562,6 +567,11 @@ def partition_halo(S: ShardedCSR, B: CSR):
         loc_iptr[s, 1 : len(lens) + 1] = np.cumsum(lens)
         loc_iptr[s, len(lens) + 1 :] = loc_iptr[s, len(lens)]
         loc_nnz[s] = loc_iptr[s, -1]
+    if structure_only:
+        A_rel = _dc.replace(S, indices=np.stack(rel_l))
+        ph = np.zeros((nsh, 1), np.int32)
+        return A_rel, loc_iptr, ph, ph.astype(b_dat_g.dtype), uniq_l, halo_counts
+
     nnzB_pad = max(int(loc_nnz.max()), 1)
     loc_ind = np.zeros((nsh, nnzB_pad), np.int32)
     loc_dat = np.zeros((nsh, nnzB_pad), b_dat_g.dtype)
@@ -665,7 +675,8 @@ def spgemm_dist_halo(
 # ---------------------------------------------------------------------------
 
 
-def _exchange_maps(halo_rows, b_part, b_iptr_global):
+def _exchange_maps(halo_rows, b_part, b_iptr_global, *, qe=None, loc_pad=None,
+                   sizes_only=False):
     """Host metadata for the in-program halo exchange (O(halo nnz) ints —
     the row DATA moves device-to-device, only these index maps are built on
     host).
@@ -675,7 +686,14 @@ def _exchange_maps(halo_rows, b_part, b_iptr_global):
     a uniform Qe; and for each requester the gather map that compacts the
     owner-major received buffer into its local halo CSR element order
     (halo rows are sorted ascending, so owner blocks arrive in exactly local
-    row order — the compaction only removes per-pair padding)."""
+    row order — the compaction only removes per-pair padding).
+
+    ``qe``/``loc_pad`` force the per-pair / per-shard paddings (must cover
+    the computed minima) — the streamed big path runs ONE compiled exchange
+    program across pieces, so every piece's maps are padded to the
+    piece-wise maxima.  ``sizes_only=True`` returns just ``(Qe,
+    nnzB_loc_pad)`` without materializing the maps (the cheap first pass
+    that finds those maxima)."""
     nsh = b_part.n_shards
     rb = b_part.rows_per_shard
     lptr = np.asarray(b_part.indptr, np.int64)  # (nsh, rb+1) local offsets
@@ -690,8 +708,12 @@ def _exchange_maps(halo_rows, b_part, b_iptr_global):
             rows_t = u[own == t]
             pair_rows[s][int(t)] = rows_t
             pair_nnz[s, int(t)] = int(lens_g[rows_t].sum())
-    Qe = max(int(pair_nnz.max()), 1)
-    Qe = _round_up(Qe, 128)
+    Qe_min = _round_up(max(int(pair_nnz.max()), 1), 128)
+    Qe = qe if qe is not None else Qe_min
+    assert Qe >= Qe_min, (Qe, Qe_min)
+    loc_min = _round_up(max(int(pair_nnz.sum(axis=1).max()), 1), 128)
+    if sizes_only:
+        return Qe_min, loc_min
 
     nnzB_pad_part = b_part.indices.shape[1]
     send_src = np.full((nsh, nsh, Qe), nnzB_pad_part - 1, np.int32)
@@ -713,8 +735,8 @@ def _exchange_maps(halo_rows, b_part, b_iptr_global):
                 np.int32
             )
 
-    loc_nnz = pair_nnz.sum(axis=1)
-    nnzB_loc_pad = _round_up(int(loc_nnz.max()), 128)
+    nnzB_loc_pad = loc_pad if loc_pad is not None else loc_min
+    assert nnzB_loc_pad >= loc_min, (nnzB_loc_pad, loc_min)
     recv_gather = np.zeros((nsh, nnzB_loc_pad), np.int32)
     for s in range(nsh):
         pieces = [
@@ -1242,6 +1264,7 @@ def spgemm_dist_big(
     accum_dtype=jnp.float32,
     pattern: bool | None = None,
     checkpoint_dir: str | None = None,
+    b_sharded: bool = False,
 ) -> CSR:
     """C = A @ B streamed over a device mesh — BASELINE config 5 end to end:
     row-partitioned SpGEMM at the >=100M-nnz scale where neither the plan
@@ -1265,9 +1288,15 @@ def spgemm_dist_big(
     one file) with a sha256-pinned manifest; a re-run resumes after the last
     finished piece.  Returns the assembled global host CSR.
 
-    B is replicated per device (an ~8-byte/nnz budget a 16 GB chip holds to
-    ~1.5G nnz(B)); for sharded-B memory scaling compose with
-    ``spgemm_dist_plan(..., b_sharded=True)`` at per-piece scale instead."""
+    ``b_sharded=False`` (default): B replicated per device (an ~8-byte/nnz
+    budget a 16 GB chip holds to ~1.5G nnz(B)).  ``b_sharded=True``: B is
+    row-BLOCK sharded across the mesh and each piece's per-shard halo
+    working set is fetched at runtime by the in-program ``all_to_all``
+    (``spgemm_dist_halo_exchange``'s collective) — no device ever holds a
+    full B replica, completing the streaming × sharded-B composition
+    matrix for config 5.  All pieces still share ONE compiled program: the
+    exchange-map paddings (Qe / local-nnz / local-rows) are sized to the
+    piece-wise maxima in a cheap first pass."""
     from spmm_tpu.ops import slab_spgemm as _slab
     from spmm_tpu.parallel.partition import partition_rows
 
@@ -1312,8 +1341,51 @@ def spgemm_dist_big(
 
     Bh = B.host()
     b_iptr64 = np.asarray(Bh.indptr, np.int64)
-    lenB = b_iptr64[1:] - b_iptr64[:-1]
-    nsegB = int(((lenB + W - 1) // W).sum())
+    s_ind = np.asarray(S.indices)
+    s_dat = np.asarray(S.data)
+    s_iptr = np.asarray(S.indptr)
+    iptr64 = s_iptr.astype(np.int64)
+    accum_np = np.dtype(jnp.dtype(accum_dtype).name)
+    row_starts_all = np.asarray(S.row_starts, np.int64)
+
+    def _piece_view(blocks):
+        import dataclasses as _dc
+
+        return _dc.replace(
+            S,
+            data=s_dat[blocks],
+            indices=s_ind[blocks],
+            indptr=s_iptr[blocks],
+            row_starts=row_starts_all[blocks].astype(np.int32),
+            n_shards=nsh,
+        )
+
+    if b_sharded:
+        # --- sharded-B streaming: halo structure + exchange-map sizing per
+        # piece (cheap pass 1), maps materialized per piece in the loop
+        # (pass 2) at the UNIFORM piece-wise-max paddings so every piece
+        # runs the same compiled exchange program -------------------------
+        b_part = partition_rows(B, nsh)
+        qe_max, loc_pad_max, nrow_loc_max, nseg_loc_max = 1, 1, 1, 1
+        for p in range(P_cnt):
+            blocks = np.arange(nsh) * P_cnt + p
+            _, lb_iptr_p, _, _, halo_rows_p, _ = partition_halo(
+                _piece_view(blocks), B, structure_only=True
+            )
+            qe_p, loc_p = _exchange_maps(
+                halo_rows_p, b_part, b_iptr64, sizes_only=True
+            )
+            qe_max = max(qe_max, qe_p)
+            loc_pad_max = max(loc_pad_max, loc_p)
+            nrow_loc_max = max(nrow_loc_max, lb_iptr_p.shape[1] - 1)
+            lens_loc = lb_iptr_p[:, 1:] - lb_iptr_p[:, :-1]
+            nseg_loc_max = max(
+                nseg_loc_max, int(((lens_loc + W - 1) // W).sum(axis=1).max())
+            )
+        nsegB = nseg_loc_max
+    else:
+        lenB = b_iptr64[1:] - b_iptr64[:-1]
+        nsegB = int(((lenB + W - 1) // W).sum())
     max_chunk = _bucket_pow2(max(slot_budget // classes[0], 8))
     rows_pad = S.rows_per_shard
     kw = dict(
@@ -1327,14 +1399,15 @@ def spgemm_dist_big(
     nnz_pad_piece = _round_up(npa_max * W, 1024)
     run = _make_spmd_run(
         mesh, axis, schedule, kw, W, accum_dtype, pattern,
-        b_sharded=False, compact_nnz_pad=nnz_pad_piece,
+        b_sharded=b_sharded, compact_nnz_pad=nnz_pad_piece,
+        exchange=b_sharded,
     )
 
     ckpt = (
         _slab._BigCheckpoint(
             checkpoint_dir, A, B, P_cnt, classes, W, slot_budget,
             str(jnp.dtype(accum_dtype).name), pattern,
-            extra={"dist_nsh": int(nsh)},
+            extra={"dist_nsh": int(nsh), "b_sharded": bool(b_sharded)},
         )
         if checkpoint_dir is not None
         else None
@@ -1342,16 +1415,18 @@ def spgemm_dist_big(
 
     sharding = NamedSharding(mesh, P(axis))
     dev = lambda a: jax.device_put(np.ascontiguousarray(a), sharding)
-    b_dev = (
-        jnp.asarray(Bh.indptr, jnp.int32),
-        jnp.asarray(Bh.indices, jnp.int32),
-        jnp.asarray(Bh.data),
-    )
-    s_ind = np.asarray(S.indices)
-    s_dat = np.asarray(S.data)
-    s_iptr = np.asarray(S.indptr)
-    iptr64 = s_iptr.astype(np.int64)
-    accum_np = np.dtype(jnp.dtype(accum_dtype).name)
+    if b_sharded:
+        b_dev = (
+            dev(np.asarray(b_part.indptr, np.int32)),
+            dev(np.asarray(b_part.indices, np.int32)),
+            dev(np.asarray(b_part.data)),
+        )
+    else:
+        b_dev = (
+            jnp.asarray(Bh.indptr, jnp.int32),
+            jnp.asarray(Bh.indices, jnp.int32),
+            jnp.asarray(Bh.data),
+        )
 
     # blocks: b = s * P + p  (shard s's rows are blocks [s*P, (s+1)*P), so
     # global row order == block order; piece p runs blocks {s*P + p})
@@ -1363,14 +1438,39 @@ def spgemm_dist_big(
                 piece_results[p] = got
                 continue
         blocks = np.arange(nsh) * P_cnt + p
+        if b_sharded:
+            # pass 2: relabeled A + exchange maps for THIS piece, padded to
+            # the uniform piece-wise maxima (one compiled program)
+            A_rel_p, lb_iptr_p, _, _, halo_rows_p, _ = partition_halo(
+                _piece_view(blocks), B, structure_only=True
+            )
+            send_src_p, recv_gather_p, _ = _exchange_maps(
+                halo_rows_p, b_part, b_iptr64, qe=qe_max, loc_pad=loc_pad_max
+            )
+            lbp = np.empty((nsh, nrow_loc_max + 1), np.int32)
+            w0 = lb_iptr_p.shape[1]
+            lbp[:, :w0] = lb_iptr_p
+            lbp[:, w0:] = lb_iptr_p[:, -1:]  # pad rows stay empty (flat)
+            a_feed = (
+                dev(np.asarray(A_rel_p.indptr, np.int32)),
+                dev(np.asarray(A_rel_p.indices, np.int32)),
+                dev(np.asarray(A_rel_p.data)),
+            )
+            extra_feed = (dev(send_src_p), dev(recv_gather_p), dev(lbp))
+        else:
+            a_feed = (
+                dev(s_iptr[blocks].astype(np.int32)),
+                dev(s_ind[blocks].astype(np.int32)),
+                dev(s_dat[blocks]),
+            )
+            extra_feed = ()
         rows_sorted, (data, indices, indptr, knnz) = run(
-            dev(s_iptr[blocks].astype(np.int32)),
-            dev(s_ind[blocks].astype(np.int32)),
-            dev(s_dat[blocks]),
+            *a_feed,
             dev(cls[blocks]),
             dev(nnz_s[blocks][:, None]),
             dev(sc_tab_all[blocks]),
             *b_dev,
+            *extra_feed,
         )
         knnz_h = np.asarray(knnz).reshape(nsh)
         rs_host = None

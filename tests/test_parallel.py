@@ -516,3 +516,36 @@ def test_spgemm_dist_revalue(mesh):
         bad = webgraph_like(1024, 6000, seed=53)
         with pytest.raises(ValueError):
             spgemm_dist_revalue(plan, partition_rows(bad, 8), bad, mesh)
+
+
+def test_spgemm_dist_big_b_sharded(mesh):
+    """Streamed distributed SpGEMM with B row-BLOCK sharded: every piece's
+    halo working set fetched by the in-program all_to_all (no device holds a
+    full B replica), all pieces through ONE compiled exchange program with
+    piece-wise-max map paddings.  Exact scipy parity, pattern + value."""
+    import dataclasses as _dc
+
+    from spmm_tpu.parallel.spgemm_spmd import spgemm_dist_big
+
+    A = webgraph_like(4096, 26000, seed=71)
+    sC = (A.to_scipy() @ A.to_scipy()).tocsr()
+    sC.sum_duplicates()
+    sC.sort_indices()
+    C = spgemm_dist_big(A, A, mesh, pieces=2, b_sharded=True)
+    assert C.nnz == sC.nnz
+    np.testing.assert_array_equal(np.asarray(C.indptr), sC.indptr.astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(C.indices[: C.nnz]), sC.indices)
+    np.testing.assert_allclose(np.asarray(C.data[: C.nnz]), sC.data, rtol=1e-4, atol=1e-4)
+
+    Av = _dc.replace(
+        A, data=np.random.default_rng(72).standard_normal(
+            A.data.shape[0]).astype(np.float32)
+    )
+    sv = (Av.to_scipy() @ Av.to_scipy()).tocsr()
+    sv.sum_duplicates()
+    sv.sort_indices()
+    Cv = spgemm_dist_big(Av, Av, mesh, pieces=2, b_sharded=True)
+    assert Cv.nnz == sv.nnz
+    np.testing.assert_allclose(
+        np.asarray(Cv.data[: Cv.nnz]), sv.data, rtol=1e-4, atol=1e-4
+    )
