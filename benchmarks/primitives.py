@@ -117,6 +117,34 @@ def main():
         gather_curve.append((int(table_bytes), r))
         del tbl, idxc
 
+    # --- NARROW-row gather vs table size -------------------------------------
+    # per-row cost depends on row width too (r5 capture: ~20% SLOWER than
+    # 512 B rows at >= 64 MB tables, faster only when the table is small);
+    # bounds on genuinely narrow tables — the (nrowB, 2) geometry lookup —
+    # use this curve.  The B2 fold gathers full (X, 128) physical rows and
+    # is bounded by the wide curve above.
+    narrow_curve = []
+    Wn = 8  # 32 B rows — the B2 fold granule
+    for ntab_log2 in (19, 21, 23, 24):  # 16 MB, 64 MB, 256 MB, 512 MB
+        NTABn = 1 << ntab_log2
+        table_bytes = NTABn * Wn * 4
+        Nn = 1 << 21
+        tbl = jnp.asarray(rng.standard_normal((NTABn, Wn)).astype(np.float32))
+        idxn = jnp.asarray(rng.integers(0, NTABn, Nn).astype(np.int32))
+
+        def gn(c, tbl, idxn):
+            return jnp.take(tbl, idxn + c.astype(jnp.int32), axis=0).sum()
+
+        t = measure_device_loop(
+            gn, jnp.zeros(()), (tbl, idxn), name=f"gnarrow{ntab_log2}", iters=9
+        )
+        r = report(
+            f"narrow-row gather, {table_bytes/2**20:.0f} MB table", t.median_ms,
+            elems=Nn,
+        )
+        narrow_curve.append((int(table_bytes), r))
+        del tbl, idxn
+
     # --- dispatch + fence floor ----------------------------------------------
     # one trivial program + one D2H scalar fetch: the per-call overhead every
     # measured kernel time contains exactly once (~tens of ms through the
@@ -207,7 +235,14 @@ def main():
         out = {
             "row_gather_rows_s": grow_best,
             "row_gather_curve": gather_curve,
+            "row_gather_narrow_curve": narrow_curve,
+            # deployment-transport property, NOT a chip rate: the axon
+            # tunnel's dispatch+D2H round trip (microseconds on a locally
+            # attached device) — valid in attainable denominators only
+            # because the measured wall times carry the same transport
             "dispatch_fence_s": dispatch_fence_s,
+            "_transport": "axon remote tunnel (dispatch_fence_s includes "
+                          "relay RTT; re-calibrate on-rig)",
             "scalar_gather_s": g1_rate,
             "scatter_elems_s": scatter_best,
             "sort_batched_s": bsort_best,

@@ -113,8 +113,11 @@ def main():
             "B2 scatter (nnz_b set-scatter)": A.nnz / R.scatter_elems_s,
             "B2 dd scatter (nrow_b deltas)": A.shape[0] / R.scatter_elems_s,
             "pa step scatter (nnz_a)": A.nnz / R.scatter_elems_s,
-            "geom row gather (nnz_a)": A.nnz / R.row_gather_rate(A.shape[0] * 8),
-            "aligned fetch (npa row gathers)": npa / R.row_gather_rate(b2_bytes),
+            "geom row gather (nnz_a)": A.nnz
+            / R.row_gather_rate(A.shape[0] * 8, row_bytes=8),
+            # the fold's physical gather granule is the (X, 128) 512 B row
+            "aligned fetch (npa row gathers)": npa
+            / R.row_gather_rate(b2_bytes, row_bytes=512),
             "aligned write (4 B/slot)": npa * W * 4 / R.elementwise_gbs,
             "dispatch+fence": R.dispatch_fence_s,
         }

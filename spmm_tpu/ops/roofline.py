@@ -118,20 +118,37 @@ class MeasuredRates:
     #: micro_b2gather.py).  A single-size rate made half the r4 att_frac
     #: numbers unactionable (VERDICT r4 weak #1) — bounds now interpolate.
     row_gather_curve: tuple = ()
-    #: one program dispatch + D2H fence through the device transport, s.
-    #: ~14 ms over the axon tunnel — the irreducible per-call overhead every
-    #: measured kernel time contains exactly once.
+    #: companion curve measured with NARROW (32 B) rows: per-row gather cost
+    #: depends on row width as well as table size — at >= 64 MB tables
+    #: narrow rows gather ~20% SLOWER per row than 512 B rows (77-79 vs
+    #: ~94 M rows/s, r5 capture), and faster only in the small-table regime.
+    #: Bounds on genuinely narrow tables (the (nrowB, 2) geometry lookup)
+    #: use this curve; the B2 fold gathers full (X, 128) physical rows and
+    #: stays on the wide curve.
+    row_gather_narrow_curve: tuple = ()
+    #: one program dispatch + D2H fence, s.  NOTE: this is a property of the
+    #: DEPLOYMENT TRANSPORT, not the chip — ~29 ms through this rig's remote
+    #: axon tunnel, microseconds on a locally attached device.  It belongs
+    #: in the attainable denominators HERE because the measured wall times
+    #: it is compared against contain the same transport exactly once;
+    #: re-calibrate (benchmarks/primitives.py --json) on any other rig.
     dispatch_fence_s: float = 0.0
 
-    def row_gather_rate(self, table_bytes: float | None = None) -> float:
+    def row_gather_rate(self, table_bytes: float | None = None,
+                        row_bytes: float | None = None) -> float:
         """Size-matched row-gather rate: log-log interpolation of the
         calibration curve at ``table_bytes``, clamped at the measured ends;
-        the single-size scalar when no curve was captured."""
-        if not table_bytes or not self.row_gather_curve:
+        the single-size scalar when no curve was captured.  ``row_bytes``
+        <= 64 selects the narrow-row curve when available (the two regimes
+        differ ~2x at equal table size)."""
+        curve = self.row_gather_curve
+        if row_bytes is not None and row_bytes <= 64 and self.row_gather_narrow_curve:
+            curve = self.row_gather_narrow_curve
+        if not table_bytes or not curve:
             return self.row_gather_rows_s
         import math
 
-        pts = sorted((float(b), float(r)) for b, r in self.row_gather_curve)
+        pts = sorted((float(b), float(r)) for b, r in curve)
         if table_bytes <= pts[0][0]:
             return pts[0][1]
         if table_bytes >= pts[-1][0]:
@@ -170,7 +187,7 @@ class MeasuredRates:
         for k, v in raw.items():
             if k not in fields:
                 continue
-            if k == "row_gather_curve":
+            if k in ("row_gather_curve", "row_gather_narrow_curve"):
                 kw[k] = tuple((float(b), float(r)) for b, r in v)
             else:
                 kw[k] = float(v)
@@ -187,7 +204,8 @@ def spmm_attainable(nnz_padded_rows: int, m: int, k: int,
     (padded) nonzero + streaming the (m, k) output.  ``table_bytes``: size
     of the gathered B panel (n*k*4) — the gather rate is table-size
     dependent (see ``MeasuredRates.row_gather_curve``)."""
-    return nnz_padded_rows / rates.row_gather_rate(table_bytes) + (
+    # B-panel rows are k*4 >= 128 bytes — the WIDE gather regime
+    return nnz_padded_rows / rates.row_gather_rate(table_bytes, row_bytes=512) + (
         2.0 * m * k * 4
     ) / rates.elementwise_gbs
 
@@ -203,16 +221,21 @@ def spgemm_attainable(npa: int, slots: int, nnz_b: int, nnz_a: int | None = None
                       *, nrow_b: int | None = None,
                       b2_table_bytes: float | None = None,
                       geom_table_bytes: float | None = None,
+                      b2_row_bytes: float = 512.0,
+                      geom_row_bytes: float = 8.0,
                       out_nnz: int | None = None,
-                      dispatches: int = 1) -> float:
+                      dispatches: float = 1) -> float:
     """Attainable seconds for the COMPLETE irreducible primitive set of the
     cold slab-ESC multiply, each term at its measured (size-matched) rate:
 
     - one segment-table row gather per pa, from the B2 table of
-      ``b2_table_bytes`` (the expansion must be gathered);
+      ``b2_table_bytes`` (the expansion must be gathered; the fold's
+      PHYSICAL gather granule is the full (X, 128) row = 512 B, so the
+      default ``b2_row_bytes`` selects the wide-regime curve);
     - one B-row-geometry row gather per A nonzero, from the (nrowB, 2)
       table of ``geom_table_bytes`` (each nonzero must learn its B row's
-      segment count/offset — a random per-nonzero access);
+      segment count/offset — a random per-nonzero access over 8 B rows,
+      the narrow regime);
     - THREE scatters (the set the r4 bound cut to two, VERDICT r4 weak #2):
       nnz(B) elements building the aligned B2 table, nnz(A) elements
       materializing the pa step function, and nrow(B) row-start deltas for
@@ -232,8 +255,8 @@ def spgemm_attainable(npa: int, slots: int, nnz_b: int, nnz_a: int | None = None
         nnz_a = nnz_b  # the A x A reference workload
     stream_bytes = 4.0 * npa + (8.0 * out_nnz if out_nnz else 0.0)
     return (
-        npa / rates.row_gather_rate(b2_table_bytes)
-        + nnz_a / rates.row_gather_rate(geom_table_bytes)
+        npa / rates.row_gather_rate(b2_table_bytes, row_bytes=b2_row_bytes)
+        + nnz_a / rates.row_gather_rate(geom_table_bytes, row_bytes=geom_row_bytes)
         + 2.0 * slots / rates.sort_batched_s
         + (nnz_b + nnz_a + (nrow_b or 0)) / rates.scatter_elems_s
         + stream_bytes / rates.elementwise_gbs

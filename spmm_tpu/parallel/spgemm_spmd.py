@@ -777,7 +777,9 @@ def spgemm_dist_halo_exchange(
     W = seg_w
     classes = tuple(sorted({_round_up(c, W) for c in classes}))
     nsh = S.n_shards
-    A_rel, lb_iptr, _lb_ind, _lb_dat, halo_rows, halo_counts = partition_halo(S, B)
+    A_rel, lb_iptr, _lb_ind, _lb_dat, halo_rows, halo_counts = partition_halo(
+        S, B, structure_only=True  # elements travel in-program (all_to_all)
+    )
     if pattern is None:
         pattern = _detect_shard_pattern(S, B)
 
@@ -978,7 +980,9 @@ def spgemm_dist_plan(
     if b_sharded:
         from spmm_tpu.parallel.partition import partition_rows
 
-        A_sz, lb_iptr, _li, _ld, halo_rows, _hc = partition_halo(S, B)
+        A_sz, lb_iptr, _li, _ld, halo_rows, _hc = partition_halo(
+            S, B, structure_only=True
+        )
         cls, counts, npa_max, nnz_s = _per_shard_sizing(
             A_sz, B, W, classes, b_iptr_per_shard=lb_iptr
         )
@@ -1397,10 +1401,18 @@ def spgemm_dist_big(
         b2_ws=_pick_b2_ws(W, pattern, np.dtype(Bh.data.dtype), _nseg_pad(nsegB)),
     )
     nnz_pad_piece = _round_up(npa_max * W, 1024)
-    run = _make_spmd_run(
-        mesh, axis, schedule, kw, W, accum_dtype, pattern,
-        b_sharded=b_sharded, compact_nnz_pad=nnz_pad_piece,
-        exchange=b_sharded,
+    # an EMPTY schedule (every row past the class ceiling) means there is no
+    # slab program to run at all — each block's whole product goes through
+    # the host tail fallback below (tracing the compact program with zero
+    # chunks would crash inside _compact_to_csr)
+    run = (
+        _make_spmd_run(
+            mesh, axis, schedule, kw, W, accum_dtype, pattern,
+            b_sharded=b_sharded, compact_nnz_pad=nnz_pad_piece,
+            exchange=b_sharded,
+        )
+        if schedule
+        else None
     )
 
     ckpt = (
@@ -1464,31 +1476,42 @@ def spgemm_dist_big(
                 dev(s_dat[blocks]),
             )
             extra_feed = ()
-        rows_sorted, (data, indices, indptr, knnz) = run(
-            *a_feed,
-            dev(cls[blocks]),
-            dev(nnz_s[blocks][:, None]),
-            dev(sc_tab_all[blocks]),
-            *b_dev,
-            *extra_feed,
-        )
-        knnz_h = np.asarray(knnz).reshape(nsh)
-        rs_host = None
+        if run is not None:
+            rows_sorted, (data, indices, indptr, knnz) = run(
+                *a_feed,
+                dev(cls[blocks]),
+                dev(nnz_s[blocks][:, None]),
+                dev(sc_tab_all[blocks]),
+                *b_dev,
+                *extra_feed,
+            )
+            knnz_h = np.asarray(knnz).reshape(nsh)
+        else:
+            rows_sorted = data = indices = indptr = None
+            knnz_h = np.zeros(nsh, np.int64)
         triples = []
         for s in range(nsh):
             b = int(blocks[s])
             k = int(knnz_h[s])
-            tri = (
-                np.asarray(jax.device_get(data[s, :k])),
-                np.asarray(jax.device_get(indices[s, :k]), np.int32),
-                np.asarray(jax.device_get(indptr[s]), np.int64),
-            )
+            if run is not None:
+                tri = (
+                    np.asarray(jax.device_get(data[s, :k])),
+                    np.asarray(jax.device_get(indices[s, :k]), np.int32),
+                    np.asarray(jax.device_get(indptr[s]), np.int64),
+                )
+            else:  # no slab chunks: start from an empty block CSR
+                tri = (
+                    np.zeros(0, accum_np),
+                    np.zeros(0, np.int32),
+                    np.zeros(rows_pad + 1, np.int64),
+                )
             nt = int(tail_per_block[b])
             if nt:
-                if rs_host is None:
-                    rs_host = np.asarray(rows_sorted)
-                base = int(counts[b, :ncls].sum())
-                trows = rs_host[s, base : base + nt].astype(np.int64)
+                # tail rows = this block's rows of the sentinel class, in row
+                # order — exactly the device's stable class sort's tail slice,
+                # recovered host-side without a rows_sorted D2H
+                trows = np.where(cls[b] == ncls)[0].astype(np.int64)
+                assert len(trows) == nt, (len(trows), nt)
                 sub_full = CSR(
                     data=s_dat[b],
                     indices=np.asarray(s_ind[b], np.int32),

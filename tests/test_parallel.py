@@ -549,3 +549,19 @@ def test_spgemm_dist_big_b_sharded(mesh):
     np.testing.assert_allclose(
         np.asarray(Cv.data[: Cv.nnz]), sv.data, rtol=1e-4, atol=1e-4
     )
+
+
+def test_spgemm_dist_big_all_tail(mesh):
+    """Every row past the class ceiling (empty chunk schedule): the whole
+    product routes through the host tail fallback instead of crashing inside
+    the compact program trace (r5 review finding)."""
+    from spmm_tpu.parallel.spgemm_spmd import spgemm_dist_big
+
+    A = webgraph_like(1024, 8000, seed=81)
+    sC = (A.to_scipy() @ A.to_scipy()).tocsr()
+    sC.sum_duplicates()
+    sC.sort_indices()
+    C = spgemm_dist_big(A, A, mesh, pieces=2, classes=(8, 16), slot_budget=1 << 12)
+    assert C.nnz == sC.nnz
+    np.testing.assert_array_equal(np.asarray(C.indices[: C.nnz]), sC.indices)
+    np.testing.assert_allclose(np.asarray(C.data[: C.nnz]), sC.data, rtol=1e-4, atol=1e-4)
