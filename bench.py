@@ -383,12 +383,17 @@ def bench_spgemm(A, chip, start_scaling=None):
     # irreducible stream, dispatch+fence), VERDICT r4 weak #2
     from spmm_tpu.ops.roofline import V5E_RATES, spgemm_attainable
     from spmm_tpu.ops.slab_spgemm import (
-        DEFAULT_CLASSES, DEFAULT_SEG_W, _nseg_pad, _pick_b2_ws, _round_up, _sizing,
+        DEFAULT_CLASSES, DEFAULT_SEG_W, DEFAULT_SLOT_BUDGET, _chunk_schedule,
+        _nseg_pad, _pick_b2_ws, _round_up, _sizing,
     )
 
     W = DEFAULT_SEG_W
     cl = tuple(sorted({_round_up(c, W) for c in DEFAULT_CLASSES}))
-    npa, _, _, _ = _sizing(A, A, W, cl)
+    npa, _, _, counts_s = _sizing(A, A, W, cl)
+    # the real chunk mix: sort terms charged at each chunk's WIDTH-matched
+    # rate (the slab widths sort at 5-8 G elem/s, not the best-width 18 G)
+    sched_s, _ = _chunk_schedule(cl, counts_s, DEFAULT_SLOT_BUDGET)
+    chunk_slots = tuple((L, R_pad * L) for (L, R_pad, _s, _c) in sched_s)
     lenB = np.asarray(A.indptr, np.int64)
     lenB = lenB[1:] - lenB[:-1]
     nsegB_pad = _nseg_pad(int(((lenB + W - 1) // W).sum()))
@@ -400,6 +405,7 @@ def bench_spgemm(A, chip, start_scaling=None):
             b2_table_bytes=nsegB_pad * ws * 4,
             geom_table_bytes=A.shape[0] * 8,
             out_nnz=out_nnz,
+            chunk_slots=chunk_slots,
         )
         / (ms * 1e-3), 3
     )
@@ -444,7 +450,8 @@ def bench_spgemm(A, chip, start_scaling=None):
             from spmm_tpu.ops.roofline import spgemm_warm_attainable
 
             extras["spgemm_warm_att_frac"] = round(
-                spgemm_warm_attainable(npa * W, out_nnz) / (wms * 1e-3), 3
+                spgemm_warm_attainable(npa * W, out_nnz, chunk_slots=chunk_slots)
+                / (wms * 1e-3), 3
             )
 
             # chained execution: N products, ONE fence — the per-product
@@ -466,7 +473,8 @@ def bench_spgemm(A, chip, start_scaling=None):
             log(f"spgemm_chain ({NCHAIN} products, one fence): {cms:.1f} ms/product")
             extras["spgemm_chain_ms"] = round(cms, 1)
             extras["spgemm_chain_att_frac"] = round(
-                spgemm_warm_attainable(npa * W, out_nnz, dispatches=1.0 / NCHAIN)
+                spgemm_warm_attainable(npa * W, out_nnz, dispatches=1.0 / NCHAIN,
+                                       chunk_slots=chunk_slots)
                 / (cms * 1e-3), 3
             )
         except Exception as e:  # keep the cold extras on warm-path failure

@@ -47,8 +47,13 @@ def main():
         return rate
 
     # --- batched minor-axis sort --------------------------------------------
+    # rate falls with width (~18 G elem/s at L=16 -> ~5 G at L=512): the
+    # curve feeds width-aware sort terms in the warm/chain attainable bounds
+    # (a best-width denominator made the chain att_frac read ~0.47 while the
+    # chain sat at its real mixed-width floor)
     bsort_best = 0.0
-    for L in (16, 128, 512):
+    bsort_curve = []
+    for L in (16, 64, 128, 512):
         R = E // L
         c2 = jnp.asarray(rng.integers(0, 1 << 20, (R, L)).astype(np.int32))
         v2 = jnp.asarray(rng.standard_normal((R, L)).astype(np.float32))
@@ -58,7 +63,9 @@ def main():
             return vs[:, 0].sum() + cs[:, 0].sum().astype(jnp.float32)
 
         t = measure_device_loop(s, jnp.zeros(()), (c2, v2), name=f"bsort{L}", iters=33)
-        bsort_best = max(bsort_best, report(f"batched minor-axis sort L={L}", t.median_ms))
+        r = report(f"batched minor-axis sort L={L}", t.median_ms)
+        bsort_best = max(bsort_best, r)
+        bsort_curve.append((int(L), r))
 
     # --- global 1-D sort -----------------------------------------------------
     k = jnp.asarray(rng.integers(0, 1 << 30, E).astype(np.int32))
@@ -246,6 +253,7 @@ def main():
             "scalar_gather_s": g1_rate,
             "scatter_elems_s": scatter_best,
             "sort_batched_s": bsort_best,
+            "sort_batched_curve": bsort_curve,
             "sort_global_s": gsort_rate,
             # cumsum reads+writes 8 B/elem — the fused-elementwise byte rate
             "elementwise_gbs": cumsum_rate * 8,

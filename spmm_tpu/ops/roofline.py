@@ -109,7 +109,11 @@ class MeasuredRates:
     row_gather_rows_s: float = 1.1e8  # aligned 2-D row gather, any width
     scatter_elems_s: float = 1.1e8  # segment_sum / .at[] set
     scalar_gather_s: float = 1.35e8  # x[idx]
-    sort_batched_s: float = 8e9  # minor-axis lax.sort, width 32-512
+    sort_batched_s: float = 8e9  # minor-axis lax.sort, best width
+    #: batched-sort rate vs slab WIDTH: ((L, elems_s), ...) — ~18 G elem/s
+    #: at L=16 falls to ~5 G at L=512; the warm/chain bounds charge each
+    #: chunk at its own width's rate instead of the best-width rate.
+    sort_batched_curve: tuple = ()
     sort_global_s: float = 3e8  # 1-D lax.sort
     elementwise_gbs: float = 600e9  # fused VPU passes, bytes/s
     #: row-gather rate vs TABLE size: ((table_bytes, rows_s), ...) — the v5e
@@ -133,6 +137,26 @@ class MeasuredRates:
     #: it is compared against contain the same transport exactly once;
     #: re-calibrate (benchmarks/primitives.py --json) on any other rig.
     dispatch_fence_s: float = 0.0
+
+    def sort_rate(self, width: float | None = None) -> float:
+        """Width-matched batched-sort rate: log-log interpolation of the
+        calibration curve at slab width ``width``, clamped at the measured
+        ends; the best-width scalar when no curve was captured."""
+        if not width or not self.sort_batched_curve:
+            return self.sort_batched_s
+        import math
+
+        pts = sorted((float(w), float(r)) for w, r in self.sort_batched_curve)
+        if width <= pts[0][0]:
+            return pts[0][1]
+        if width >= pts[-1][0]:
+            return pts[-1][1]
+        x = math.log(width)
+        for (w0, r0), (w1, r1) in zip(pts, pts[1:]):
+            if width <= w1:
+                f = (x - math.log(w0)) / (math.log(w1) - math.log(w0))
+                return math.exp((1 - f) * math.log(r0) + f * math.log(r1))
+        return pts[-1][1]
 
     def row_gather_rate(self, table_bytes: float | None = None,
                         row_bytes: float | None = None) -> float:
@@ -187,7 +211,8 @@ class MeasuredRates:
         for k, v in raw.items():
             if k not in fields:
                 continue
-            if k in ("row_gather_curve", "row_gather_narrow_curve"):
+            if k in ("row_gather_curve", "row_gather_narrow_curve",
+                     "sort_batched_curve"):
                 kw[k] = tuple((float(b), float(r)) for b, r in v)
             else:
                 kw[k] = float(v)
@@ -224,7 +249,8 @@ def spgemm_attainable(npa: int, slots: int, nnz_b: int, nnz_a: int | None = None
                       b2_row_bytes: float = 512.0,
                       geom_row_bytes: float = 8.0,
                       out_nnz: int | None = None,
-                      dispatches: float = 1) -> float:
+                      dispatches: float = 1,
+                      chunk_slots=None) -> float:
     """Attainable seconds for the COMPLETE irreducible primitive set of the
     cold slab-ESC multiply, each term at its measured (size-matched) rate:
 
@@ -254,10 +280,14 @@ def spgemm_attainable(npa: int, slots: int, nnz_b: int, nnz_a: int | None = None
     if nnz_a is None:
         nnz_a = nnz_b  # the A x A reference workload
     stream_bytes = 4.0 * npa + (8.0 * out_nnz if out_nnz else 0.0)
+    if chunk_slots:  # width-matched sort rates (see spgemm_warm_attainable)
+        sort_s = 2.0 * sum(s / rates.sort_rate(L) for L, s in chunk_slots)
+    else:
+        sort_s = 2.0 * slots / rates.sort_batched_s
     return (
         npa / rates.row_gather_rate(b2_table_bytes, row_bytes=b2_row_bytes)
         + nnz_a / rates.row_gather_rate(geom_table_bytes, row_bytes=geom_row_bytes)
-        + 2.0 * slots / rates.sort_batched_s
+        + sort_s
         + (nnz_b + nnz_a + (nrow_b or 0)) / rates.scatter_elems_s
         + stream_bytes / rates.elementwise_gbs
         + dispatches * rates.dispatch_fence_s
@@ -266,16 +296,26 @@ def spgemm_attainable(npa: int, slots: int, nnz_b: int, nnz_a: int | None = None
 
 def spgemm_warm_attainable(slots: int, out_nnz: int,
                            rates: MeasuredRates = V5E_RATES,
-                           *, dispatches: int = 1) -> float:
+                           *, dispatches: float = 1,
+                           chunk_slots=None) -> float:
     """Attainable seconds for the ALIGNED numeric phase (plan-reuse warm
     path): the gather half ran at plan time, so what remains is the two
     batched minor-axis sorts over the cached slots, one read of the aligned
     cache + one write of the merged output (the irreducible stream), and the
     per-call dispatch+fence.  This is the denominator the r4 bench lacked
-    (VERDICT r4 weak #3)."""
+    (VERDICT r4 weak #3).
+
+    ``chunk_slots``: optional ``((L, slots_at_width_L), ...)`` — the sort
+    term is then charged per chunk at the WIDTH-MATCHED sort rate (the slab
+    mix sorts at 5-8 G elem/s, not the best-width 18 G; a best-width
+    denominator made the chain att_frac read ~0.47 at its real floor)."""
     stream_bytes = 4.0 * slots + 8.0 * out_nnz
+    if chunk_slots:
+        sort_s = 2.0 * sum(s / rates.sort_rate(L) for L, s in chunk_slots)
+    else:
+        sort_s = 2.0 * slots / rates.sort_batched_s
     return (
-        2.0 * slots / rates.sort_batched_s
+        sort_s
         + stream_bytes / rates.elementwise_gbs
         + dispatches * rates.dispatch_fence_s
     )
